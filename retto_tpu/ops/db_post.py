@@ -1,0 +1,43 @@
+"""Device-side half of the DB postprocess.
+
+The reference thresholds the probability map and dilates it on the host
+(det_processor.rs:286-292).  Here both run on the TPU so only a packed
+uint8 mask leaves the device (SURVEY.md §7 "Host/device split in det
+postprocess"); contour tracing stays on the host (inherently sequential).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["binarize_dilate"]
+
+
+@partial(jax.jit, static_argnames=("thresh", "use_dilation"))
+def binarize_dilate(
+    pred: jax.Array, thresh: float = 0.3, use_dilation: bool = True
+) -> jax.Array:
+    """prob map [..., H, W] -> uint8 mask [H, W].
+
+    mask = pred > thresh (det_processor.rs:286-289), then optional 2x2
+    dilation anchored at (1,1) (det_processor.rs:128-138, :290-292) —
+    out(x, y) = max over the up-left 2x2 neighborhood, i.e. a max-reduce
+    window with top/left padding of 1 (cv2.dilate semantics; imageproc's
+    reflected convention differs by a 1-px shift, well inside the
+    reference's own +-10 px test tolerance).
+    """
+    pred2d = pred.reshape(pred.shape[-2:])
+    mask = (pred2d > thresh).astype(jnp.uint8)
+    if use_dilation:
+        mask = jax.lax.reduce_window(
+            mask,
+            jnp.uint8(0),
+            jax.lax.max,
+            window_dimensions=(2, 2),
+            window_strides=(1, 1),
+            padding=((1, 0), (1, 0)),
+        )
+    return mask

@@ -1,0 +1,88 @@
+"""Full DB detection postprocess (host assembly).
+
+Implements the reference's postprocess chain (det_processor.rs:279-335):
+
+    mask -> contours -> min-area rect (sside filter >= min_mini_box_size)
+         -> box_score_fast vs box_thresh
+         -> unclip (area*ratio/perimeter, round joins)
+         -> re-min-rect (sside filter >= min_mini_box_size + 2)
+         -> scale_and_clip to the pre-det image
+         -> drop boxes with h/w <= 3 px
+         -> reading-order sort (10-px row tolerance)
+
+The device half (threshold + dilation) lives in retto_tpu.ops.db_post; this
+function takes the probability map and the already-binarized mask as NumPy
+arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DetConfig
+from ..geometry import (
+    min_area_rect,
+    scale_and_clip,
+    sort_boxes_reading_order,
+    unclip,
+)
+from .contours import find_contour_point_sets
+from .raster import box_score_fast
+
+__all__ = ["det_postprocess"]
+
+
+def det_postprocess(
+    pred: np.ndarray,
+    mask: np.ndarray,
+    cfg: DetConfig,
+    dest_h: int,
+    dest_w: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """pred: [H, W] float32 probability map (det model output, same size as
+    the det input image); mask: [H, W] binarized/dilated map; dest_h/dest_w:
+    the pre-det-resize image size the boxes are rescaled to
+    (det_processor.rs postprocess is constructed with the session's
+    post-resize_both size — session.rs:85).
+
+    Returns (boxes [N, 4, 2] float32 in dest coords, scores [N] float32),
+    sorted in reading order.
+    """
+    h, w = pred.shape
+    boxes: list[np.ndarray] = []
+    scores: list[float] = []
+    for contour in find_contour_point_sets(mask, cfg.max_candidates):
+        box, _ = min_area_rect(contour)
+        # the reference's first mini box is integer-typed (contours are i32,
+        # imageproc returns Point<i32>); quantize before filtering/scoring
+        box = np.round(box).astype(np.float64)
+        side1 = float(np.linalg.norm(box[0] - box[1]))
+        side2 = float(np.linalg.norm(box[3] - box[2]))
+        sside = min(side1, side2)
+        if sside < cfg.min_mini_box_size:
+            continue
+        score = box_score_fast(pred, box)
+        if score < cfg.box_thresh:
+            continue
+        expanded = unclip(box, cfg.unclip_ratio)
+        box2, sside2 = min_area_rect(expanded)
+        if sside2 < cfg.min_mini_box_size + 2:
+            continue
+        box3 = scale_and_clip(box2[None], w, h, dest_w, dest_h)[0]
+        bh = float(np.linalg.norm(box3[0] - box3[3]))
+        bw = float(np.linalg.norm(box3[0] - box3[1]))
+        if bh <= 3.0 or bw <= 3.0:
+            continue
+        boxes.append(box3)
+        scores.append(score)
+
+    if not boxes:
+        return (
+            np.zeros((0, 4, 2), dtype=np.float32),
+            np.zeros((0,), dtype=np.float32),
+        )
+    boxes_arr = np.stack(boxes).astype(np.float32)
+    scores_arr = np.asarray(scores, dtype=np.float32)
+    centers = (boxes_arr[:, 0] + boxes_arr[:, 2]) / 2.0
+    order = sort_boxes_reading_order(centers, y_tol=10.0)
+    return boxes_arr[order], scores_arr[order]
