@@ -1,0 +1,65 @@
+"""Model presets mirroring the reference's model suite
+(/root/reference/retto-core/build.rs:7-12: PP-OCRv4 mobile det + rec,
+mobile-v2.0 cls) plus a "server" tier (BASELINE.json config 4) and a "tiny"
+tier for tests and synthetic training.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from .dbnet import DetModel
+from .mobilenetv3 import ClsModel
+from .svtr import RecModel
+
+__all__ = ["MODEL_PRESETS", "build_det", "build_cls", "build_rec"]
+
+MODEL_PRESETS: dict[str, dict[str, dict[str, Any]]] = {
+    "tiny": {
+        "det": dict(backbone_scale=0.25, inner_ch=32, head_ch=32),
+        "cls": dict(scale=0.2),
+        "rec": dict(dims=(32, 64, 96, 128), depths=(1, 1, 1, 1),
+                    mixer_dim=64, mixer_depth=1, num_heads=4),
+    },
+    "mobile": {
+        "det": dict(backbone_scale=0.5, inner_ch=96, head_ch=96),
+        "cls": dict(scale=0.35),
+        "rec": dict(dims=(64, 128, 256, 512), depths=(2, 2, 2, 2),
+                    mixer_dim=120, mixer_depth=2, num_heads=8),
+    },
+    "server": {
+        "det": dict(backbone_scale=1.25, inner_ch=256, head_ch=256),
+        "cls": dict(scale=0.35),
+        "rec": dict(dims=(96, 192, 384, 768), depths=(3, 3, 6, 3),
+                    mixer_dim=256, mixer_depth=4, num_heads=8),
+    },
+}
+
+
+def _dtype(name: str | None):
+    if name in (None, "float32", "f32"):
+        return None
+    return jnp.dtype(name)
+
+
+def build_det(preset: str = "mobile", compute_dtype: str | None = "bfloat16",
+              **overrides: Any) -> DetModel:
+    kw = dict(MODEL_PRESETS[preset]["det"])
+    kw.update(overrides)
+    return DetModel(dtype=_dtype(compute_dtype), **kw)
+
+
+def build_cls(preset: str = "mobile", num_classes: int = 2,
+              compute_dtype: str | None = "bfloat16", **overrides: Any) -> ClsModel:
+    kw = dict(MODEL_PRESETS[preset]["cls"])
+    kw.update(overrides)
+    return ClsModel(num_classes=num_classes, dtype=_dtype(compute_dtype), **kw)
+
+
+def build_rec(preset: str = "mobile", num_classes: int = 6625,
+              compute_dtype: str | None = "bfloat16", **overrides: Any) -> RecModel:
+    kw = dict(MODEL_PRESETS[preset]["rec"])
+    kw.update(overrides)
+    return RecModel(num_classes=num_classes, dtype=_dtype(compute_dtype), **kw)
