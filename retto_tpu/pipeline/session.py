@@ -1,0 +1,191 @@
+"""RettoSession — the public pipeline API.
+
+Mirror of the reference's session layer (session.rs:58-143): decode ->
+clamp-resize -> det -> crop -> cls (rotate) -> rec, with per-stage streaming
+callbacks, plus TPU extensions the reference lacks: ``run_many`` batch API,
+per-image error isolation, and engine/device configuration.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Callable, Iterable, Sequence
+
+import numpy as np
+
+from ..config import PipelineMode, SessionConfig
+from ..errors import RettoError
+from ..geometry import PointBox, scale_and_clip
+from ..image.io import ImageHelper, decode_image
+from ..ops.charset import CharacterDict, ascii_charset
+from ..results import (
+    ClsResult,
+    DetBox,
+    DetResult,
+    OcrResult,
+    RecResult,
+    StageResult,
+)
+from .engine import Engine, JaxEngine
+from .stages import ClsStage, DetStage, RecStage
+
+logger = logging.getLogger("retto_tpu")
+
+__all__ = ["RettoSession"]
+
+
+class RettoSession:
+    """Three-stage OCR session (ref: session.rs:58-143).
+
+    Construction options:
+    * ``engine=`` — bring your own Engine (incl. FakeEngine for tests);
+    * ``weights={"det": path, "cls": path, "rec": path}`` — load npz pytrees;
+    * neither — random-init weights (smoke/dev only; logged loudly).
+    """
+
+    def __init__(
+        self,
+        config: SessionConfig | None = None,
+        engine: Engine | None = None,
+        preset: str = "mobile",
+        charset: CharacterDict | Sequence[str] | None = None,
+        weights: dict[str, str] | None = None,
+        mesh=None,
+    ):
+        self.config = config or SessionConfig()
+        self.chars = self._resolve_charset(charset)
+        self.engine = engine or self._build_engine(preset, weights, mesh)
+        cfg = self.config
+        self._det = DetStage(cfg.det, cfg.buckets)
+        self._cls = ClsStage(cfg.cls, cfg.buckets, cfg.mode)
+        self._rec = RecStage(cfg.rec, cfg.buckets, cfg.mode, self.chars)
+
+    # ------------------------------------------------------------------ #
+    def _resolve_charset(self, charset) -> CharacterDict:
+        if isinstance(charset, CharacterDict):
+            return charset
+        if charset is not None:
+            return CharacterDict(list(charset))
+        rec_cfg = self.config.rec
+        # session.rs:65-66: dict loaded at session init, ignored tokens [0]
+        if rec_cfg.character_dict_path:
+            return CharacterDict.from_file(rec_cfg.character_dict_path)
+        if rec_cfg.characters:
+            return CharacterDict(list(rec_cfg.characters))
+        return CharacterDict(ascii_charset())
+
+    def _build_engine(self, preset: str, weights: dict[str, str] | None, mesh):
+        import jax.numpy as jnp
+
+        from ..models import build_cls, build_det, build_rec
+        from ..weights import init_random_params, load_params
+
+        dtype = self.config.engine.compute_dtype
+        det_m = build_det(preset, compute_dtype=dtype)
+        cls_m = build_cls(preset, compute_dtype=dtype)
+        rec_m = build_rec(
+            preset, num_classes=self.chars.num_classes, compute_dtype=dtype
+        )
+        if weights:
+            params = {k: load_params(v) for k, v in weights.items()}
+        else:
+            logger.warning(
+                "RettoSession: no weights given — using RANDOM weights "
+                "(pipeline will run but recognize nothing; pass weights= "
+                "or engine=)"
+            )
+            params = {
+                "det": init_random_params(det_m, jnp.zeros((1, 3, 64, 64))),
+                "cls": init_random_params(cls_m, jnp.zeros((1, 3, *self.config.cls.image_shape[1:]))),
+                "rec": init_random_params(rec_m, jnp.zeros((1, 3, *self.config.rec.image_shape[1:]))),
+            }
+        return JaxEngine(
+            det_model=det_m,
+            cls_model=cls_m,
+            rec_model=rec_m,
+            det_params=params["det"],
+            cls_params=params["cls"],
+            rec_params=params["rec"],
+            mesh=mesh,
+        )
+
+    # ------------------------------------------------------------------ #
+    def _process_pipeline(
+        self, data: bytes | np.ndarray, callback: Callable[[StageResult], None]
+    ) -> None:
+        """The forward pass (ref: session.rs:75-106)."""
+        image = ImageHelper(decode_image(data))
+        ori_h, ori_w = image.size()
+        image.resize_both(self.config.max_side_len, self.config.min_side_len)
+        after_h, after_w = image.size()
+
+        boxes, scores = self._det(image, self.engine)
+
+        # crops are taken in the RESIZED image coords (session.rs:88-92);
+        # the reported boxes are rescaled to original coords after
+        # (session.rs:93-97)
+        crops = [
+            ImageHelper(image.get_crop_img(PointBox(b))) for b in boxes
+        ]
+        boxes_ori = scale_and_clip(boxes, after_w, after_h, ori_w, ori_h)
+        det_result = DetResult(
+            [
+                DetBox(PointBox(b), float(s))
+                for b, s in zip(boxes_ori, scores)
+            ]
+        )
+        callback(StageResult(stage="det", result=det_result))
+
+        if self.config.use_cls:
+            labels = self._cls(crops, self.engine)
+        else:
+            labels = []
+        callback(StageResult(stage="cls", result=ClsResult(labels)))
+
+        texts = self._rec(crops, self.engine)
+        callback(StageResult(stage="rec", result=RecResult(texts)))
+
+    # ------------------------------------------------------------------ #
+    def run(self, data: bytes | np.ndarray) -> OcrResult:
+        """One image -> full three-stage result (ref: session.rs:108-131)."""
+        slots: dict[str, Any] = {}
+
+        def cb(stage: StageResult) -> None:
+            logger.debug("%s result: %s", stage.stage, stage.result)
+            slots[stage.stage] = stage.result
+
+        self._process_pipeline(data, cb)
+        return OcrResult(
+            det_result=slots["det"],
+            cls_result=slots["cls"],
+            rec_result=slots["rec"],
+        )
+
+    def run_stream(
+        self, data: bytes | np.ndarray, callback: Callable[[StageResult], None]
+    ) -> None:
+        """Stage-by-stage streaming (ref: session.rs:133-143; the mpsc
+        channel becomes a plain callback)."""
+        self._process_pipeline(data, callback)
+
+    def run_many(
+        self,
+        inputs: Iterable[bytes | np.ndarray],
+        *,
+        raise_on_error: bool = False,
+    ) -> list[OcrResult | RettoError]:
+        """Batch API (reference is strictly one image per call —
+        SURVEY.md §2 row 14).  Per-image errors are isolated: a bad decode
+        yields the exception object in that slot instead of killing the
+        batch (SURVEY.md §5 failure-detection plan)."""
+        out: list[OcrResult | RettoError] = []
+        for data in inputs:
+            try:
+                out.append(self.run(data))
+            except RettoError as e:
+                if raise_on_error:
+                    raise
+                logger.warning("run_many: image failed: %s", e)
+                out.append(e)
+        return out

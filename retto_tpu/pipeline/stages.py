@@ -1,0 +1,208 @@
+"""The three pipeline stages (pre/post-processing around the engine).
+
+TPU counterpart of the reference's processor layer
+(det_processor.rs / cls_processor.rs / rec_processor.rs).  Each stage is a
+callable taking host images + an Engine; tensor work runs on device, the
+small sequential tail (contours, string join) on host.
+
+Batching modes (config.PipelineMode):
+* COMPAT — reproduces the reference's observable batching: descending-ratio
+  sort, chunks of ``batch_num``, carried-over max_wh_ratio width
+  (cls_processor.rs:137-170, rec_processor.rs:224-266).
+* PERFORMANCE — width-bucketed dense batches with a small static shape set
+  (XLA-friendly; SURVEY.md §2 row 11 north star).
+"""
+
+from __future__ import annotations
+
+import bisect
+import math
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BucketConfig, ClsConfig, DetConfig, PipelineMode, RecConfig
+from ..image.io import ImageHelper, _pil_resize
+from ..image.ops import normalize_det, pad_to
+from ..image.resize import resize_either_dims
+from ..ops.charset import CharacterDict
+from ..ops.ctc import ctc_greedy_decode
+from ..ops.db_post import binarize_dilate
+from ..ops.det_postprocess import det_postprocess
+from ..results import ClsLabel, RecText
+
+__all__ = ["DetStage", "ClsStage", "RecStage"]
+
+
+def _bucket_up(v: int, step: int, cap: int) -> int:
+    return min(int(math.ceil(v / step)) * step, cap)
+
+
+class DetStage:
+    """resize_either -> normalize(BGR) -> pad-to-bucket -> engine.det ->
+    slice -> binarize+dilate (device) -> contour postprocess (host).
+    Mirrors det_processor.rs preprocess (:256-274) + postprocess (:279-335).
+    """
+
+    def __init__(self, cfg: DetConfig, buckets: BucketConfig):
+        self.cfg = cfg
+        self.buckets = buckets
+
+    def __call__(self, image: ImageHelper, engine) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (boxes [N,4,2] float32 in ``image`` coords, scores [N])."""
+        ah, aw = image.size()
+        rh, rw = resize_either_dims(ah, aw, self.cfg.limit_type, self.cfg.limit_side_len)
+        resized = (
+            image.img
+            if (rh, rw) == (ah, aw)
+            else _pil_resize(image.img, rw, rh)
+        )
+        x = normalize_det(
+            jnp.asarray(resized), self.cfg.mean, self.cfg.std, self.cfg.scale
+        )
+        bh = _bucket_up(rh, self.buckets.det_pad_to, self.buckets.det_max_side)
+        bw = _bucket_up(rw, self.buckets.det_pad_to, self.buckets.det_max_side)
+        # pad with normalized black (-1): no synthetic edges for the model
+        x = pad_to(x, bh, bw, value=-1.0)
+        pred = engine.det(x)
+        pred = pred[:, :, :rh, :rw]
+        mask = binarize_dilate(
+            pred, self.cfg.thresh, self.cfg.use_dilation and self.cfg.dilation_kernel is not None
+        )
+        return det_postprocess(
+            np.asarray(pred[0, 0]), np.asarray(mask), self.cfg, ah, aw
+        )
+
+
+class ClsStage:
+    """Angle classification; rotates mis-oriented crops in place
+    (cls_processor.rs:127-171)."""
+
+    def __init__(self, cfg: ClsConfig, buckets: BucketConfig, mode: PipelineMode):
+        self.cfg = cfg
+        self.buckets = buckets
+        self.mode = mode
+
+    def __call__(self, crops: list[ImageHelper], engine) -> list[ClsLabel]:
+        n = len(crops)
+        if n == 0:
+            return []
+        labels: list[ClsLabel] = [ClsLabel() for _ in range(n)]
+        order = sorted(range(n), key=lambda i: -crops[i].ori_ratio())
+        shape = tuple(self.cfg.image_shape)
+
+        if self.mode == PipelineMode.COMPAT:
+            chunks = [
+                order[i : i + self.cfg.batch_num]
+                for i in range(0, n, self.cfg.batch_num)
+            ]
+        else:
+            chunks = [order]  # single dense batch (cls shape is static)
+
+        for chunk in chunks:
+            batch = np.stack(
+                [crops[i].resize_norm_image(shape, None) for i in chunk]
+            )
+            if self.mode == PipelineMode.PERFORMANCE:
+                nb = _next_bucket(len(chunk), self.buckets.cls_batch_buckets)
+                if nb > len(chunk):
+                    batch = np.concatenate(
+                        [batch, np.zeros((nb - len(chunk), *batch.shape[1:]), np.float32)]
+                    )
+            probs = np.asarray(engine.cls(batch))[: len(chunk)]
+            pred = probs.argmax(axis=1)
+            for row, i in enumerate(chunk):
+                cls_idx = int(pred[row])
+                score = float(probs[row, cls_idx])
+                label = int(self.cfg.label[cls_idx])
+                # rotate in place when 180 with confidence >= thresh
+                # (cls_processor.rs:163-166)
+                if label == 180 and score >= self.cfg.thresh:
+                    crops[i].rotate_180_in_place()
+                labels[i] = ClsLabel(label=label, score=score)
+        return labels
+
+
+def _next_bucket(v: int, buckets: Sequence[int]) -> int:
+    pos = bisect.bisect_left(buckets, v)
+    return buckets[pos] if pos < len(buckets) else buckets[-1] * (
+        (v + buckets[-1] - 1) // buckets[-1]
+    )
+
+
+class RecStage:
+    """Text recognition with CTC decode (rec_processor.rs:214-270)."""
+
+    def __init__(
+        self,
+        cfg: RecConfig,
+        buckets: BucketConfig,
+        mode: PipelineMode,
+        chars: CharacterDict,
+    ):
+        self.cfg = cfg
+        self.buckets = buckets
+        self.mode = mode
+        self.chars = chars
+
+    def __call__(self, crops: list[ImageHelper], engine) -> list[RecText]:
+        n = len(crops)
+        if n == 0:
+            return []
+        out: list[RecText] = [RecText() for _ in range(n)]
+        _, img_h, img_w = self.cfg.image_shape
+        order = sorted(range(n), key=lambda i: -crops[i].ori_ratio())
+
+        if self.mode == PipelineMode.COMPAT:
+            # carried-over max_wh_ratio across chunks (rec_processor.rs:
+            # 237-247: the mutable accumulator never shrinks)
+            max_wh_ratio = img_w / img_h
+            for s in range(0, n, self.cfg.batch_num):
+                chunk = order[s : s + self.cfg.batch_num]
+                for i in chunk:
+                    h, w = crops[i].size()
+                    max_wh_ratio = max(max_wh_ratio, w / h)
+                batch = np.stack(
+                    [
+                        crops[i].resize_norm_image(
+                            (3, img_h, img_w), max_wh_ratio
+                        )
+                        for i in chunk
+                    ]
+                )
+                self._run_decode(engine, batch, chunk, out)
+        else:
+            # width buckets: group crops by padded width (static shape set)
+            groups: dict[int, list[int]] = {}
+            for i in order:
+                h, w = crops[i].size()
+                natural = int(math.ceil(img_h * w / h))
+                bw = _next_bucket(max(natural, img_w), self.buckets.rec_width_buckets)
+                groups.setdefault(bw, []).append(i)
+            for bw, idxs in sorted(groups.items()):
+                batch = np.stack(
+                    [
+                        crops[i].resize_norm_image((3, img_h, bw), None)
+                        for i in idxs
+                    ]
+                )
+                nb = _next_bucket(len(idxs), self.buckets.rec_batch_buckets)
+                if nb > len(idxs):
+                    batch = np.concatenate(
+                        [batch, np.zeros((nb - len(idxs), *batch.shape[1:]), np.float32)]
+                    )
+                self._run_decode(engine, batch, idxs, out)
+        return out
+
+    def _run_decode(
+        self, engine, batch: np.ndarray, idxs: Sequence[int], out: list[RecText]
+    ) -> None:
+        probs = engine.rec(batch)
+        idx, keep, score = ctc_greedy_decode(probs)
+        texts = self.chars.decode_indices(
+            np.asarray(idx)[: len(idxs)], np.asarray(keep)[: len(idxs)]
+        )
+        scores = np.asarray(score)
+        for row, i in enumerate(idxs):
+            out[i] = RecText(text=texts[row], score=float(scores[row]))
