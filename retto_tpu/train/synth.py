@@ -1,0 +1,231 @@
+"""Synthetic OCR data generation (host, PIL).
+
+The reference's own tests synthesize fixture data instead of storing it
+(session.rs:163-204: rasterize text with a font, rotate, assert the
+pipeline recovers it — SURVEY.md §4).  This module generalizes that idea
+into training-data generators so models can be trained from scratch in
+no-network environments: rendered text lines (rec/cls) and multi-line pages
+with DB ground-truth maps (det).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from ..ops.charset import CharacterDict
+
+__all__ = [
+    "default_font",
+    "render_line",
+    "render_page",
+    "make_rec_batch",
+    "make_cls_batch",
+    "make_det_batch",
+    "db_ground_truth",
+]
+
+_FONTS = [
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+]
+
+
+def default_font(size: int = 32, variant: int = 0) -> ImageFont.FreeTypeFont:
+    return ImageFont.truetype(_FONTS[variant % len(_FONTS)], size)
+
+
+def render_line(
+    text: str,
+    height: int = 48,
+    font: ImageFont.FreeTypeFont | None = None,
+    fg: tuple[int, int, int] = (0, 0, 0),
+    bg: tuple[int, int, int] = (255, 255, 255),
+    pad: int = 4,
+) -> np.ndarray:
+    """Render one text line to an HWC uint8 image of the given height."""
+    font = font or default_font(height - 2 * pad)
+    l, t, r, b = font.getbbox(text)
+    w = max(r - l, 1) + 2 * pad
+    h = max(b - t, 1) + 2 * pad
+    img = Image.new("RGB", (w, h), bg)
+    ImageDraw.Draw(img).text((pad - l, pad - t), text, font=font, fill=fg)
+    if h != height:
+        img = img.resize((max(int(w * height / h), 8), height), Image.BILINEAR)
+    return np.asarray(img, dtype=np.uint8)
+
+
+def normalize_crop(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """resize_norm_image semantics for a training sample -> [3, h, w] f32."""
+    from ..image.io import ImageHelper
+
+    return ImageHelper(img).resize_norm_image((3, h, w), None)
+
+
+def random_text(rng: np.random.Generator, chars: Sequence[str], max_len: int = 12) -> str:
+    n = int(rng.integers(1, max_len + 1))
+    return "".join(rng.choice(list(chars), size=n))
+
+
+def make_rec_batch(
+    rng: np.random.Generator,
+    chars: CharacterDict,
+    batch: int,
+    h: int = 48,
+    w: int = 320,
+    max_len: int = 12,
+    invert_prob: float = 0.3,
+):
+    """(x [N,3,h,w] f32 normalized, labels [N,max_len] i32, lengths [N] i32,
+    texts).  Text charset excludes the blank and the trailing space."""
+    usable = chars.chars[1:-1]
+    xs, labels, lengths, texts = [], [], [], []
+    for _ in range(batch):
+        text = random_text(rng, usable, max_len)
+        fg, bg = ((255, 255, 255), (0, 0, 0)) if rng.random() < invert_prob else (
+            (0, 0, 0),
+            (255, 255, 255),
+        )
+        img = render_line(
+            text, h, font=default_font(int(rng.integers(28, 44)),
+                                       int(rng.integers(0, len(_FONTS)))),
+            fg=fg, bg=bg,
+        )
+        xs.append(normalize_crop(img, h, w))
+        ids = chars.encode(text)[:max_len]
+        labels.append(ids + [0] * (max_len - len(ids)))
+        lengths.append(len(ids))
+        texts.append(text)
+    return (
+        np.stack(xs).astype(np.float32),
+        np.asarray(labels, np.int32),
+        np.asarray(lengths, np.int32),
+        texts,
+    )
+
+
+def make_cls_batch(
+    rng: np.random.Generator,
+    chars: CharacterDict,
+    batch: int,
+    shape: tuple[int, int, int] = (3, 48, 192),
+):
+    """(x [N,3,h,w], labels [N] in {0,1}): label 1 = rotated 180."""
+    _, h, w = shape
+    xs, ys = [], []
+    usable = chars.chars[1:-1]
+    for _ in range(batch):
+        img = render_line(random_text(rng, usable, 10), h)
+        rot = int(rng.integers(0, 2))
+        if rot:
+            img = img[::-1, ::-1]
+        xs.append(normalize_crop(img, h, w))
+        ys.append(rot)
+    return np.stack(xs).astype(np.float32), np.asarray(ys, np.int32)
+
+
+# --------------------------------------------------------------------- #
+# Det ground truth (DB paper): shrink map + border threshold map
+# --------------------------------------------------------------------- #
+
+
+def db_ground_truth(
+    boxes: np.ndarray, h: int, w: int, shrink_ratio: float = 0.4
+):
+    """Axis-aligned DB ground truth.  boxes: [N, 4] (x0, y0, x1, y1).
+    Returns (shrink_map, shrink_mask, thresh_map, thresh_mask), all [h, w]
+    f32.  d = area * (1 - r^2) / perimeter per the DB paper."""
+    shrink = np.zeros((h, w), np.float32)
+    thresh = np.zeros((h, w), np.float32)
+    thresh_mask = np.zeros((h, w), np.float32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    for (x0, y0, x1, y1) in boxes:
+        bw, bh = x1 - x0, y1 - y0
+        if bw <= 0 or bh <= 0:
+            continue
+        area, per = bw * bh, 2 * (bw + bh)
+        d = area * (1 - shrink_ratio**2) / per
+        d = min(d, bw / 2 - 1, bh / 2 - 1)
+        d = max(d, 1.0)
+        shrink[
+            int(y0 + d) : int(math.ceil(y1 - d)),
+            int(x0 + d) : int(math.ceil(x1 - d)),
+        ] = 1.0
+        # threshold band: distance to the box boundary, inside [x0-d, x1+d]
+        dx = np.maximum.reduce([x0 - xs, xs - x1, np.zeros_like(xs, np.float32)])
+        dy = np.maximum.reduce([y0 - ys, ys - y1, np.zeros_like(ys, np.float32)])
+        dist_out = np.sqrt(dx * dx + dy * dy)  # 0 inside box
+        inside_dist = np.minimum.reduce(
+            [xs - x0, x1 - xs, ys - y0, y1 - ys]
+        ).astype(np.float32)
+        signed = np.where(inside_dist > 0, -inside_dist, dist_out)
+        band = np.abs(signed) <= d
+        val = np.clip(1.0 - np.abs(signed) / d, 0.0, 1.0)
+        thresh = np.maximum(thresh, np.where(band, 0.3 + 0.4 * val, 0.0))
+        thresh_mask = np.maximum(thresh_mask, band.astype(np.float32))
+    shrink_mask = np.ones((h, w), np.float32)
+    return shrink, shrink_mask, thresh, thresh_mask
+
+
+def render_page(
+    rng: np.random.Generator,
+    chars: CharacterDict,
+    h: int = 256,
+    w: int = 320,
+    max_lines: int = 4,
+):
+    """A page of text lines.  Returns (img [h,w,3] u8, boxes [N,4] xyxy,
+    texts)."""
+    img = np.full((h, w, 3), 255, np.uint8)
+    usable = chars.chars[1:-1]
+    boxes, texts = [], []
+    n_lines = int(rng.integers(1, max_lines + 1))
+    y = int(rng.integers(4, 20))
+    for _ in range(n_lines):
+        lh = int(rng.integers(20, 36))
+        text = random_text(rng, usable, 10)
+        line = render_line(text, lh)
+        lw = min(line.shape[1], w - 8)
+        x = int(rng.integers(2, max(3, w - lw - 2)))
+        if y + lh >= h:
+            break
+        img[y : y + lh, x : x + lw] = line[:, :lw]
+        boxes.append((x, y, x + lw, y + lh))
+        texts.append(text)
+        y += lh + int(rng.integers(8, 24))
+    return img, np.asarray(boxes, np.float32).reshape(-1, 4), texts
+
+
+def make_det_batch(
+    rng: np.random.Generator,
+    chars: CharacterDict,
+    batch: int,
+    h: int = 256,
+    w: int = 320,
+):
+    """(x [N,3,h,w] f32 det-normalized(BGR), gt_shrink, gt_mask, gt_thresh,
+    gt_thresh_mask each [N,h,w])."""
+    xs, gs, gm, gt, gtm = [], [], [], [], []
+    for _ in range(batch):
+        img, boxes, _ = render_page(rng, chars, h, w)
+        bgr = img[..., ::-1].astype(np.float32)
+        x = ((bgr / 255.0) - 0.5) / 0.5
+        xs.append(np.transpose(x, (2, 0, 1)))
+        s, sm, t, tm = db_ground_truth(boxes, h, w)
+        gs.append(s)
+        gm.append(sm)
+        gt.append(t)
+        gtm.append(tm)
+    return (
+        np.stack(xs).astype(np.float32),
+        np.stack(gs),
+        np.stack(gm),
+        np.stack(gt),
+        np.stack(gtm),
+    )

@@ -1,0 +1,171 @@
+"""Training subsystem tests: losses, synthetic data, and the mesh-sharded
+train step (8 virtual CPU devices; SURVEY.md §4 multi-chip test plan)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from retto_tpu.models import build_cls, build_rec
+from retto_tpu.ops.charset import CharacterDict, ascii_charset
+from retto_tpu.train.losses import cls_loss, ctc_loss, db_loss
+from retto_tpu.train.synth import (
+    db_ground_truth,
+    make_cls_batch,
+    make_det_batch,
+    make_rec_batch,
+    render_line,
+    render_page,
+)
+from retto_tpu.train.trainer import (
+    init_train_state,
+    make_mesh,
+    make_train_step,
+    param_shardings,
+)
+
+CHARS = CharacterDict(list("0123456789"))
+
+
+class TestLosses:
+    def test_ctc_loss_decreases_for_correct_logits(self):
+        # logits favoring the label sequence must score lower than random
+        n, t, c = 2, 12, 12
+        labels = jnp.asarray([[1, 2, 3, 0], [4, 5, 0, 0]], jnp.int32)
+        lengths = jnp.asarray([3, 2], jnp.int32)
+        good = np.full((n, t, c), -5.0, np.float32)
+        # spread the label indices across time, blanks elsewhere
+        for i, row in enumerate([[1, 2, 3], [4, 5]]):
+            for j in range(t):
+                good[i, j, 0] = 5.0
+            for j, lab in enumerate(row):
+                good[i, j * 3, 0] = -5.0
+                good[i, j * 3, lab] = 5.0
+        bad = np.zeros((n, t, c), np.float32)
+        l_good = float(ctc_loss(jnp.asarray(good), labels, lengths))
+        l_bad = float(ctc_loss(jnp.asarray(bad), labels, lengths))
+        assert l_good < l_bad
+
+    def test_db_loss_zero_ish_for_perfect_pred(self):
+        h = w = 64
+        gt_s, gt_m, gt_t, gt_tm = db_ground_truth(
+            np.array([[10, 10, 50, 30]]), h, w
+        )
+        eps = 1e-4
+        perfect = {
+            "maps": jnp.asarray(gt_s)[None, None].clip(eps, 1 - eps),
+            "thresh": jnp.asarray(gt_t)[None, None],
+            "binary": jnp.asarray(gt_s)[None, None],
+        }
+        wrong = {
+            "maps": jnp.full((1, 1, h, w), 0.5),
+            "thresh": jnp.zeros((1, 1, h, w)),
+            "binary": jnp.full((1, 1, h, w), 0.5),
+        }
+        lp = float(db_loss(perfect, gt_s[None], gt_m[None], gt_t[None], gt_tm[None]))
+        lw = float(db_loss(wrong, gt_s[None], gt_m[None], gt_t[None], gt_tm[None]))
+        assert lp < lw
+        assert lp < 0.5
+
+    def test_cls_loss(self):
+        probs = jnp.asarray([[0.9, 0.1], [0.2, 0.8]])
+        labels = jnp.asarray([0, 1])
+        good = float(cls_loss(probs, labels))
+        bad = float(cls_loss(probs, 1 - labels))
+        assert good < bad
+
+
+class TestSynth:
+    def test_render_line_shape(self):
+        img = render_line("hello 123", 48)
+        assert img.shape[0] == 48 and img.shape[2] == 3
+        assert img.min() < 100 and img.max() == 255  # text + background
+
+    def test_rec_batch(self):
+        rng = np.random.default_rng(0)
+        x, labels, lengths, texts = make_rec_batch(rng, CHARS, 4, max_len=8)
+        assert x.shape == (4, 3, 48, 320)
+        assert labels.shape == (4, 8)
+        assert all(1 <= l <= 8 for l in lengths)
+        # labels decode back to the texts
+        for row, ln, text in zip(labels, lengths, texts):
+            assert "".join(CHARS.chars[i] for i in row[:ln]) == text
+
+    def test_cls_batch(self):
+        rng = np.random.default_rng(0)
+        x, y = make_cls_batch(rng, CHARS, 6)
+        assert x.shape == (6, 3, 48, 192)
+        assert set(np.unique(y)).issubset({0, 1})
+
+    def test_det_batch_and_gt(self):
+        rng = np.random.default_rng(0)
+        x, gs, gm, gt, gtm = make_det_batch(rng, CHARS, 2, h=128, w=160)
+        assert x.shape == (2, 3, 128, 160)
+        assert gs.shape == (2, 128, 160)
+        assert gs.max() <= 1.0 and gs.min() >= 0.0
+        # the shrink region must be strictly inside at least one rendered box
+        img, boxes, _ = render_page(rng, CHARS, 128, 160)
+        if len(boxes):
+            s, _, t, tm = db_ground_truth(boxes, 128, 160)
+            ys, xs = np.nonzero(s)
+            x0, y0, x1, y1 = boxes[0]
+            assert s.sum() > 0
+            assert (t[tm > 0] >= 0.3 - 1e-6).all()
+
+
+class TestTrainStep:
+    def test_rec_train_step_single_device(self):
+        model = build_rec("tiny", num_classes=CHARS.num_classes,
+                          compute_dtype=None,
+                          dims=(16, 32, 48, 64), depths=(1, 1, 1, 1),
+                          mixer_depth=1)
+        tx = optax.adam(1e-3)
+        rng = np.random.default_rng(0)
+        x, labels, lengths, _ = make_rec_batch(rng, CHARS, 2, w=96, max_len=4)
+
+        def loss_fn(out, labels, lengths):
+            return ctc_loss(out, labels, lengths)
+
+        state = init_train_state(model, tx, x)
+
+        # rec model: train mode must produce logits for CTC
+        def apply_logits(variables, x, train=False, mutable=None):
+            kw = dict(train=train, return_logits=True)
+            if mutable:
+                return model.apply(variables, x, mutable=mutable, **kw)
+            return model.apply(variables, x, **kw)
+
+        step = make_train_step(apply_logits, loss_fn, tx)
+        losses = []
+        for i in range(3):
+            state, loss = step(state, jnp.asarray(x), jnp.asarray(labels),
+                               jnp.asarray(lengths))
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert int(state.step) == 3
+
+    def test_mesh_train_step_8_devices(self):
+        assert jax.device_count() >= 8
+        mesh = make_mesh(8, model_parallel=2)
+        assert mesh.shape == {"data": 4, "model": 2}
+        model = build_cls("tiny", compute_dtype=None)
+        tx = optax.sgd(1e-2)
+        rng = np.random.default_rng(0)
+        x, y = make_cls_batch(rng, CHARS, 8, shape=(3, 32, 64))
+        state = init_train_state(model, tx, x, mesh=mesh)
+        step = make_train_step(model, cls_loss, tx, mesh=mesh)
+        state, loss = step(state, jnp.asarray(x), jnp.asarray(y))
+        assert np.isfinite(float(loss))
+
+    def test_param_shardings_rules(self):
+        mesh = make_mesh(8, model_parallel=2)
+        params = {
+            "backbone": {"kernel": jnp.zeros((3, 3, 8, 16))},
+            "head": {"Dense_0": {"kernel": jnp.zeros((64, 128))}},
+        }
+        sh = param_shardings(params, mesh)
+        head_spec = sh["head"]["Dense_0"]["kernel"].spec
+        assert head_spec == jax.sharding.PartitionSpec(None, "model")
+        bb_spec = sh["backbone"]["kernel"].spec
+        assert bb_spec == jax.sharding.PartitionSpec()
