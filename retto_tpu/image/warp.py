@@ -72,13 +72,22 @@ def warp_crops(
     out_h: int,
     out_w: int,
     fill: float = 255.0,
+    valid_hw: jax.Array | None = None,
 ) -> jax.Array:
     """image: [H, W, 3] uint8/f32; homographies: [N, 3, 3] dest->src.
     Returns [N, out_h, out_w, 3] float32 bilinear samples, out-of-range
     filled with ``fill`` (the reference fills white, image_helper.rs:241).
+
+    ``valid_hw`` (dynamic [2] array, optional) restricts the in-bounds
+    region to [0, valid_h) x [0, valid_w) — used when ``image`` is padded
+    up to a bucket shape and samples in the padding must fill, not read
+    padding pixels.
     """
     img = image.astype(jnp.float32)
-    h, w = img.shape[0], img.shape[1]
+    if valid_hw is None:
+        h, w = img.shape[0], img.shape[1]
+    else:
+        h, w = valid_hw[0], valid_hw[1]
 
     ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)

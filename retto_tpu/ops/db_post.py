@@ -13,7 +13,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["binarize_dilate"]
+__all__ = ["binarize_dilate", "binarize_dilate_packed", "unpack_mask"]
 
 
 @partial(jax.jit, static_argnames=("thresh", "use_dilation"))
@@ -41,3 +41,31 @@ def binarize_dilate(
             padding=((1, 0), (1, 0)),
         )
     return mask
+
+
+@partial(jax.jit, static_argnames=("thresh", "use_dilation"))
+def binarize_dilate_packed(
+    pred: jax.Array, thresh: float = 0.3, use_dilation: bool = True
+) -> jax.Array:
+    """Like binarize_dilate but bit-packs the mask along the row axis so
+    only H*W/8 bytes leave the device (SURVEY.md §7: "minimize the mask
+    transfer (bit-pack) so only ~1 byte/pixel leaves the TPU" — this gets
+    it to 1 bit).  Returns uint8 [H, ceil(W/8)] (big-endian bit order,
+    numpy.packbits-compatible)."""
+    mask = binarize_dilate(pred, thresh, use_dilation)
+    h, w = mask.shape
+    pad = (-w) % 8
+    if pad:
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    grouped = mask.reshape(h, -1, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (grouped * weights).sum(axis=-1, dtype=jnp.uint8)
+
+
+def unpack_mask(packed: "jax.Array | object", w: int):
+    """Host-side inverse of binarize_dilate_packed -> bool [H, w]."""
+    import numpy as np
+
+    arr = np.asarray(packed)
+    bits = np.unpackbits(arr, axis=1)[:, :w]
+    return bits.astype(bool)

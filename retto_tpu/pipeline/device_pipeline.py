@@ -1,0 +1,342 @@
+"""Device-resident fused pipeline (PERFORMANCE fast path).
+
+The "north star" design from SURVEY.md: the image is uploaded once as
+uint8; preprocessing, the three model forwards, binarization, crop warping,
+normalization, and CTC decode all run on the TPU; the host receives only
+
+* a bit-packed det mask + a uint8-quantized prob map (~1.1 bytes/pixel),
+* per-crop cls probabilities ([N, 2]),
+* per-crop CTC indices/keep-masks/scores (a few KB),
+
+and performs the inherently sequential tail: contour tracing, min-area
+rects, homography solves (8x8), and string assembly.
+
+Deviations from the reference path (all confined to PERFORMANCE mode;
+COMPAT mode in pipeline.stages reproduces the reference exactly):
+* crops are sampled from the det-resized image instead of the
+  session-resized image (one device image instead of two);
+* box scores are computed from the uint8-quantized prob map (<=0.2%
+  quantization error);
+* cls inputs are warped directly to the (48, 192) input canvas instead of
+  crop -> resize (one resampling instead of two);
+* the cls 180-degree rotation is realized by composing the rec-warp
+  homography with a 180-degree rotation instead of flipping pixels.
+
+Cross-image batching: ``run_many`` gathers the crops of ALL images in the
+call into shared width/batch buckets (BASELINE.json config 5 streaming
+shape), and stages device work so host postprocessing overlaps with device
+compute for other images.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineMode, SessionConfig
+from ..geometry import PointBox, scale_and_clip
+from ..image.io import ImageHelper, _pil_resize, decode_image, perspective_coeffs
+from ..image.resize import resize_either_dims
+from ..image.warp import warp_crops
+from ..ops.charset import CharacterDict
+from ..ops.ctc import ctc_greedy_decode
+from ..ops.db_post import binarize_dilate_packed, unpack_mask
+from ..ops.det_postprocess import det_postprocess
+from ..results import (
+    ClsLabel,
+    ClsResult,
+    DetBox,
+    DetResult,
+    OcrResult,
+    RecResult,
+    RecText,
+)
+from .stages import _bucket_up, _next_bucket
+
+__all__ = ["DevicePipeline"]
+
+
+@dataclass
+class _CropTask:
+    img_i: int
+    box_i: int
+    quad_det: np.ndarray  # warp-source quad in det-image coords (maybe rot90-reordered)
+    crop_h: int  # natural crop size in session coords (post-rot90)
+    crop_w: int
+    rotated180: bool = False
+
+
+@dataclass
+class _Staged:
+    ah: int
+    aw: int
+    ori_h: int
+    ori_w: int
+    rh: int
+    rw: int
+    dev_img: jax.Array
+    packed: jax.Array
+    prob8: jax.Array
+    boxes: np.ndarray | None = None
+    scores: np.ndarray | None = None
+    crops: list[_CropTask] = field(default_factory=list)
+
+
+class DevicePipeline:
+    def __init__(
+        self,
+        det_model,
+        cls_model,
+        rec_model,
+        params: dict[str, Any],
+        config: SessionConfig,
+        chars: CharacterDict,
+    ):
+        self.cfg = config
+        self.chars = chars
+        self._params = params
+        det_cfg = config.det
+
+        def det_fwd(params, img_u8, valid_hw):
+            x = img_u8.astype(jnp.float32)[..., ::-1]  # BGR (det_processor.rs:268)
+            mean = jnp.asarray(det_cfg.mean, jnp.float32)
+            std = jnp.asarray(det_cfg.std, jnp.float32)
+            x = (x * det_cfg.scale - mean) / std
+            # zero out bucket padding -> normalized black
+            h, w = img_u8.shape[0], img_u8.shape[1]
+            row = jnp.arange(h)[:, None, None]
+            col = jnp.arange(w)[None, :, None]
+            inb = (row < valid_hw[0]) & (col < valid_hw[1])
+            x = jnp.where(inb, x, -1.0)
+            x = jnp.transpose(x, (2, 0, 1))[None]
+            pred = det_model.apply(params, x)
+            packed = binarize_dilate_packed(
+                pred,
+                det_cfg.thresh,
+                det_cfg.use_dilation and det_cfg.dilation_kernel is not None,
+            )
+            prob8 = jnp.round(pred[0, 0] * 255.0).astype(jnp.uint8)
+            return packed, prob8
+
+        self._det_fwd = jax.jit(det_fwd)
+
+        def warp_norm(img_u8, homogs, widths, valid_hw, out_h, out_w):
+            crops = warp_crops(
+                img_u8, homogs, out_h, out_w, fill=255.0, valid_hw=valid_hw
+            )
+            x = (crops / 255.0 - 0.5) / 0.5
+            col = jnp.arange(out_w)[None, None, :, None]
+            x = jnp.where(col < widths[:, None, None, None], x, 0.0)
+            return jnp.transpose(x, (0, 3, 1, 2))
+
+        def cls_fwd(params, img_u8, homogs, widths, valid_hw):
+            _, h, w = config.cls.image_shape
+            x = warp_norm(img_u8, homogs, widths, valid_hw, h, w)
+            return cls_model.apply(params, x)
+
+        self._cls_fwd = jax.jit(cls_fwd)
+
+        def rec_fwd(params, img_u8, homogs, widths, valid_hw, out_w):
+            _, h, _ = config.rec.image_shape
+            x = warp_norm(img_u8, homogs, widths, valid_hw, h, out_w)
+            probs = rec_model.apply(params, x)
+            return ctc_greedy_decode(probs)
+
+        self._rec_fwd = jax.jit(rec_fwd, static_argnames=("out_w",))
+
+    # ------------------------------------------------------------------ #
+    def run(self, data: bytes | np.ndarray) -> OcrResult:
+        return self.run_many([data])[0]
+
+    def run_many(self, inputs: Sequence[bytes | np.ndarray]) -> list[OcrResult]:
+        cfg = self.cfg
+        staged: list[_Staged] = []
+
+        # ---- phase A: host resize chain + upload + dispatch det -------- #
+        for data in inputs:
+            img = ImageHelper(decode_image(data))
+            ori_h, ori_w = img.size()
+            img.resize_both(cfg.max_side_len, cfg.min_side_len)
+            ah, aw = img.size()
+            rh, rw = resize_either_dims(
+                ah, aw, cfg.det.limit_type, cfg.det.limit_side_len
+            )
+            det_img = (
+                img.img if (rh, rw) == (ah, aw) else _pil_resize(img.img, rw, rh)
+            )
+            bh = _bucket_up(rh, cfg.buckets.det_pad_to, cfg.buckets.det_max_side)
+            bw = _bucket_up(rw, cfg.buckets.det_pad_to, cfg.buckets.det_max_side)
+            padded = np.zeros((bh, bw, 3), np.uint8)
+            padded[:rh, :rw] = det_img
+            dev_img = jnp.asarray(padded)
+            valid = jnp.asarray([rh, rw], jnp.int32)
+            packed, prob8 = self._det_fwd(self._params["det"], dev_img, valid)
+            staged.append(
+                _Staged(ah, aw, ori_h, ori_w, rh, rw, dev_img, packed, prob8)
+            )
+
+        # ---- phase B: fetch det outputs, host postprocess, geometry ---- #
+        all_crops: list[_CropTask] = []
+        for i, st in enumerate(staged):
+            mask = unpack_mask(st.packed, st.dev_img.shape[1])[: st.rh, : st.rw]
+            pred = np.asarray(st.prob8)[: st.rh, : st.rw].astype(np.float32) / 255.0
+            boxes, scores = det_postprocess(pred, mask, cfg.det, st.ah, st.aw)
+            st.boxes, st.scores = boxes, scores
+            sx, sy = st.rw / st.aw, st.rh / st.ah
+            for j, b in enumerate(boxes):
+                pb = PointBox(b)
+                w_crop = max(int(max(pb.width_brc(), pb.width_tlc())), 1)
+                h_crop = max(int(max(pb.height_brc(), pb.height_tlc())), 1)
+                quad = b * np.asarray([sx, sy], np.float32)
+                if h_crop / w_crop >= 1.5:
+                    # rot90-CCW crop == sampling with corners [tr, br, bl, tl]
+                    # (image_helper.rs:245-247)
+                    quad = quad[[1, 2, 3, 0]]
+                    h_crop, w_crop = w_crop, h_crop
+                all_crops.append(_CropTask(i, j, quad, h_crop, w_crop))
+            st.crops = [c for c in all_crops if c.img_i == i]
+
+        # ---- phase C: cls over all crops (bucketed, cross-image) ------- #
+        if cfg.use_cls and all_crops:
+            self._run_cls(staged, all_crops)
+        # ---- phase D/E: rec over all crops (width buckets) ------------- #
+        rec_texts: dict[tuple[int, int], RecText] = {}
+        if all_crops:
+            rec_texts = self._run_rec(staged, all_crops)
+
+        # ---- assemble -------------------------------------------------- #
+        out: list[OcrResult] = []
+        for i, st in enumerate(staged):
+            boxes_ori = scale_and_clip(
+                st.boxes, st.aw, st.ah, st.ori_w, st.ori_h
+            )
+            det_res = DetResult(
+                [
+                    DetBox(PointBox(b), float(s))
+                    for b, s in zip(boxes_ori, st.scores)
+                ]
+            )
+            cls_res = ClsResult(
+                [getattr(c, "cls_label", ClsLabel()) for c in st.crops]
+                if cfg.use_cls
+                else []
+            )
+            rec_res = RecResult(
+                [
+                    rec_texts.get((i, c.box_i), RecText())
+                    for c in st.crops
+                ]
+            )
+            out.append(OcrResult(det_res, cls_res, rec_res))
+        return out
+
+    # ------------------------------------------------------------------ #
+    def _homog(self, task: _CropTask, content_w: int, content_h: int,
+               rot180: bool = False) -> np.ndarray:
+        rect = np.array(
+            [[0, 0], [content_w, 0], [content_w, content_h], [0, content_h]],
+            np.float64,
+        )
+        if rot180:
+            # compose with a 180-degree rotation of the content region
+            rect = rect[[2, 3, 0, 1]]
+        c = perspective_coeffs(rect, task.quad_det)
+        return np.array(
+            [[c[0], c[1], c[2]], [c[3], c[4], c[5]], [c[6], c[7], 1.0]],
+            np.float32,
+        )
+
+    def _run_cls(self, staged: list[_Staged], all_crops: list[_CropTask]) -> None:
+        cfg = self.cfg
+        _, ch, cw = cfg.cls.image_shape
+        # group crops by source image (the warp kernel reads one image)
+        by_img: dict[int, list[_CropTask]] = {}
+        for c in all_crops:
+            by_img.setdefault(c.img_i, []).append(c)
+        handles = []
+        for i, crops in by_img.items():
+            st = staged[i]
+            widths = [
+                min(cw, int(math.ceil(ch * c.crop_w / c.crop_h))) for c in crops
+            ]
+            homogs = np.stack(
+                [self._homog(c, w, ch) for c, w in zip(crops, widths)]
+            )
+            nb = _next_bucket(len(crops), cfg.buckets.cls_batch_buckets)
+            if nb > len(crops):
+                pad = nb - len(crops)
+                homogs = np.concatenate([homogs, np.tile(np.eye(3, dtype=np.float32)[None], (pad, 1, 1))])
+                widths = widths + [1] * pad
+            probs = self._cls_fwd(
+                self._params["cls"],
+                st.dev_img,
+                jnp.asarray(homogs),
+                jnp.asarray(np.asarray(widths, np.int32)),
+                jnp.asarray([st.rh, st.rw], jnp.int32),
+            )
+            handles.append((crops, probs))
+        for crops, probs in handles:
+            p = np.asarray(probs)[: len(crops)]
+            pred = p.argmax(axis=1)
+            for row, c in enumerate(crops):
+                cls_idx = int(pred[row])
+                score = float(p[row, cls_idx])
+                label = int(cfg.cls.label[cls_idx])
+                if label == 180 and score >= cfg.cls.thresh:
+                    c.rotated180 = True
+                c.cls_label = ClsLabel(label=label, score=score)
+
+    def _run_rec(
+        self, staged: list[_Staged], all_crops: list[_CropTask]
+    ) -> dict[tuple[int, int], RecText]:
+        cfg = self.cfg
+        _, rh, rw_default = cfg.rec.image_shape
+        # bucket by (image, padded width): the warp reads one source image
+        groups: dict[tuple[int, int], list[tuple[_CropTask, int]]] = {}
+        for c in all_crops:
+            natural = int(math.ceil(rh * c.crop_w / c.crop_h))
+            bw = _next_bucket(
+                max(natural, rw_default), cfg.buckets.rec_width_buckets
+            )
+            groups.setdefault((c.img_i, bw), []).append((c, min(natural, bw)))
+        handles = []
+        for (i, bw), items in sorted(groups.items()):
+            st = staged[i]
+            crops = [c for c, _ in items]
+            widths = [w for _, w in items]
+            homogs = np.stack(
+                [
+                    self._homog(c, w, rh, rot180=c.rotated180)
+                    for (c, w) in items
+                ]
+            )
+            nb = _next_bucket(len(crops), cfg.buckets.rec_batch_buckets)
+            if nb > len(crops):
+                pad = nb - len(crops)
+                homogs = np.concatenate([homogs, np.tile(np.eye(3, dtype=np.float32)[None], (pad, 1, 1))])
+                widths = widths + [1] * pad
+            idx, keep, score = self._rec_fwd(
+                self._params["rec"],
+                st.dev_img,
+                jnp.asarray(homogs),
+                jnp.asarray(np.asarray(widths, np.int32)),
+                jnp.asarray([st.rh, st.rw], jnp.int32),
+                out_w=bw,
+            )
+            handles.append((crops, idx, keep, score))
+        out: dict[tuple[int, int], RecText] = {}
+        for crops, idx, keep, score in handles:
+            n = len(crops)
+            texts = self.chars.decode_indices(
+                np.asarray(idx)[:n], np.asarray(keep)[:n]
+            )
+            scores = np.asarray(score)[:n]
+            for c, t, s in zip(crops, texts, scores):
+                out[(c.img_i, c.box_i)] = RecText(text=t, score=float(s))
+        return out

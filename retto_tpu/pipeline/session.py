@@ -55,11 +55,38 @@ class RettoSession:
     ):
         self.config = config or SessionConfig()
         self.chars = self._resolve_charset(charset)
+        self._models: dict[str, Any] | None = None
+        self._params: dict[str, Any] | None = None
+        self._device_pipeline = None
         self.engine = engine or self._build_engine(preset, weights, mesh)
         cfg = self.config
         self._det = DetStage(cfg.det, cfg.buckets)
         self._cls = ClsStage(cfg.cls, cfg.buckets, cfg.mode)
         self._rec = RecStage(cfg.rec, cfg.buckets, cfg.mode, self.chars)
+
+    def device_pipeline(self):
+        """The fused device-resident fast path (PERFORMANCE north star;
+        see pipeline.device_pipeline).  Requires real models (not available
+        with a user-supplied engine)."""
+        if self._device_pipeline is None:
+            if not self._models:
+                from ..errors import RettoEngineError
+
+                raise RettoEngineError(
+                    "device_pipeline requires session-built models "
+                    "(construct RettoSession without engine=)"
+                )
+            from .device_pipeline import DevicePipeline
+
+            self._device_pipeline = DevicePipeline(
+                self._models["det"],
+                self._models["cls"],
+                self._models["rec"],
+                self._params,
+                self.config,
+                self.chars,
+            )
+        return self._device_pipeline
 
     # ------------------------------------------------------------------ #
     def _resolve_charset(self, charset) -> CharacterDict:
@@ -100,6 +127,8 @@ class RettoSession:
                 "cls": init_random_params(cls_m, jnp.zeros((1, 3, *self.config.cls.image_shape[1:]))),
                 "rec": init_random_params(rec_m, jnp.zeros((1, 3, *self.config.rec.image_shape[1:]))),
             }
+        self._models = {"det": det_m, "cls": cls_m, "rec": rec_m}
+        self._params = params
         return JaxEngine(
             det_model=det_m,
             cls_model=cls_m,

@@ -1,0 +1,201 @@
+"""Device-resident training datasets.
+
+The TPU here sits behind a ~40 MB/s tunnel, so per-step host->device batch
+uploads would dominate training time.  Instead the rendered dataset is
+uploaded ONCE as uint8 and each jitted train step gathers its batch by
+index, normalizes, and (for det) synthesizes the DB ground-truth maps
+directly on device from box coordinates — only a [B] index vector crosses
+the wire per step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _register_pytree(cls):
+    """Dataset holders must be pytrees so they can be passed as jit
+    ARGUMENTS — closing over them embeds hundreds of MB of constants in the
+    serialized computation (the tunnel's remote-compile endpoint rejects
+    bodies that large with HTTP 413)."""
+    names = [f.name for f in fields(cls)]
+    jax.tree_util.register_pytree_node(
+        cls,
+        lambda obj: ([getattr(obj, n) for n in names], None),
+        lambda _, children: cls(*children),
+    )
+    return cls
+
+__all__ = [
+    "RecDeviceData",
+    "ClsDeviceData",
+    "DetDeviceData",
+    "gather_rec_batch",
+    "gather_cls_batch",
+    "gather_det_batch",
+    "db_gt_device",
+]
+
+
+@_register_pytree
+@dataclass
+class RecDeviceData:
+    """lines: uint8 [M, H, W, 3] right-padded; widths [M] i32;
+    labels [M, L] i32; lengths [M] i32."""
+
+    lines: jax.Array
+    widths: jax.Array
+    labels: jax.Array
+    lengths: jax.Array
+
+    @classmethod
+    def build(cls, imgs: list[np.ndarray], labels: np.ndarray, lengths: np.ndarray, w_max: int):
+        h = imgs[0].shape[0]
+        m = len(imgs)
+        buf = np.zeros((m, h, w_max, 3), np.uint8)
+        widths = np.zeros((m,), np.int32)
+        for i, im in enumerate(imgs):
+            w = min(im.shape[1], w_max)
+            buf[i, :, :w] = im[:, :w]
+            widths[i] = w
+        return cls(
+            jnp.asarray(buf),
+            jnp.asarray(widths),
+            jnp.asarray(labels.astype(np.int32)),
+            jnp.asarray(lengths.astype(np.int32)),
+        )
+
+
+def gather_rec_batch(data: RecDeviceData, idx: jax.Array):
+    """[B] indices -> (x [B,3,H,W] f32 normalized+width-masked, labels,
+    lengths).  Matches inference resize_norm semantics: content normalized
+    (v/255-0.5)/0.5, zero beyond the crop width (image_helper.rs:203-208)."""
+    imgs = data.lines[idx].astype(jnp.float32)
+    x = (imgs / 255.0 - 0.5) / 0.5
+    w = data.lines.shape[2]
+    col = jnp.arange(w)[None, None, :, None]
+    mask = col < data.widths[idx][:, None, None, None]
+    x = jnp.where(mask, x, 0.0)
+    x = jnp.transpose(x, (0, 3, 1, 2))
+    return x, data.labels[idx], data.lengths[idx]
+
+
+@_register_pytree
+@dataclass
+class ClsDeviceData:
+    """lines uint8 [M, H, W, 3] (unrotated), widths [M]."""
+
+    lines: jax.Array
+    widths: jax.Array
+
+    @classmethod
+    def build(cls, imgs: list[np.ndarray], w_max: int):
+        h = imgs[0].shape[0]
+        buf = np.zeros((len(imgs), h, w_max, 3), np.uint8)
+        widths = np.zeros((len(imgs),), np.int32)
+        for i, im in enumerate(imgs):
+            w = min(im.shape[1], w_max)
+            buf[i, :, :w] = im[:, :w]
+            widths[i] = w
+        return cls(jnp.asarray(buf), jnp.asarray(widths))
+
+
+def gather_cls_batch(data: ClsDeviceData, idx: jax.Array, rot: jax.Array):
+    """rot [B] in {0,1}: 1 = rotate 180 (the positive cls class).  Rotation
+    flips the CONTENT region then re-packs left (mirroring how a rotated
+    crop is re-normalized at inference: padding stays on the right)."""
+    imgs = data.lines[idx].astype(jnp.float32)
+    w = data.lines.shape[2]
+    widths = data.widths[idx]
+    # flip then roll so content starts at column 0 again
+    flipped = imgs[:, ::-1, ::-1, :]
+
+    def roll_row(img, wd):
+        return jnp.roll(img, wd - w, axis=1)
+
+    flipped = jax.vmap(roll_row)(flipped, widths)
+    imgs = jnp.where(rot[:, None, None, None] > 0, flipped, imgs)
+    x = (imgs / 255.0 - 0.5) / 0.5
+    col = jnp.arange(w)[None, None, :, None]
+    x = jnp.where(col < widths[:, None, None, None], x, 0.0)
+    return jnp.transpose(x, (0, 3, 1, 2)), rot
+
+
+@_register_pytree
+@dataclass
+class DetDeviceData:
+    """pages uint8 [M, S, S, 3]; boxes f32 [M, P, 4] xyxy padded with -1."""
+
+    pages: jax.Array
+    boxes: jax.Array
+
+    @classmethod
+    def build(cls, pages: list[np.ndarray], boxes: list[np.ndarray], max_boxes: int = 16):
+        s = pages[0].shape[0]
+        m = len(pages)
+        buf = np.stack(pages)
+        bbuf = np.full((m, max_boxes, 4), -1.0, np.float32)
+        for i, bx in enumerate(boxes):
+            k = min(len(bx), max_boxes)
+            if k:
+                bbuf[i, :k] = bx[:k]
+        return cls(jnp.asarray(buf), jnp.asarray(bbuf))
+
+
+def db_gt_device(boxes: jax.Array, size_h: int, size_w: int, shrink_ratio: float = 0.4):
+    """On-device DB ground truth from axis-aligned boxes [P, 4] (invalid
+    rows = -1).  Returns (shrink, thresh, thresh_mask) each [H, W] f32 —
+    the jnp mirror of synth.db_ground_truth."""
+    valid = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+    x0 = boxes[:, 0][:, None, None]
+    y0 = boxes[:, 1][:, None, None]
+    x1 = boxes[:, 2][:, None, None]
+    y1 = boxes[:, 3][:, None, None]
+    gx = jnp.arange(size_w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(size_h, dtype=jnp.float32)[None, :, None]
+    bw, bh = x1 - x0, y1 - y0
+    area, per = bw * bh, 2 * (bw + bh)
+    d = area * (1 - shrink_ratio**2) / jnp.maximum(per, 1e-6)
+    d = jnp.minimum(d, jnp.minimum(bw / 2 - 1, bh / 2 - 1))
+    d = jnp.maximum(d, 1.0)
+    v = valid[:, None, None]
+    shrink_p = (
+        (gx >= jnp.floor(x0 + d))
+        & (gx < jnp.ceil(x1 - d))
+        & (gy >= jnp.floor(y0 + d))
+        & (gy < jnp.ceil(y1 - d))
+        & v
+    )
+    shrink = jnp.any(shrink_p, axis=0).astype(jnp.float32)
+    dx = jnp.maximum(jnp.maximum(x0 - gx, gx - x1), 0.0)
+    dy = jnp.maximum(jnp.maximum(y0 - gy, gy - y1), 0.0)
+    dist_out = jnp.sqrt(dx * dx + dy * dy)
+    inside = jnp.minimum(
+        jnp.minimum(gx - x0, x1 - gx), jnp.minimum(gy - y0, y1 - gy)
+    )
+    signed = jnp.where(inside > 0, -inside, dist_out)
+    band = (jnp.abs(signed) <= d) & v
+    val = jnp.clip(1.0 - jnp.abs(signed) / d, 0.0, 1.0)
+    tmap = jnp.max(jnp.where(band, 0.3 + 0.4 * val, 0.0), axis=0)
+    tmask = jnp.any(band, axis=0).astype(jnp.float32)
+    return shrink, tmap, tmask
+
+
+def gather_det_batch(data: DetDeviceData, idx: jax.Array):
+    """[B] indices -> (x [B,3,S,S] det-normalized BGR, gt_shrink, gt_mask,
+    gt_thresh, gt_thresh_mask)."""
+    pages = data.pages[idx].astype(jnp.float32)
+    bgr = pages[..., ::-1]
+    x = (bgr / 255.0 - 0.5) / 0.5
+    x = jnp.transpose(x, (0, 3, 1, 2))
+    s_h, s_w = data.pages.shape[1], data.pages.shape[2]
+    shrink, tmap, tmask = jax.vmap(
+        partial(db_gt_device, size_h=s_h, size_w=s_w)
+    )(data.boxes[idx])
+    mask = jnp.ones_like(shrink)
+    return x, shrink, mask, tmap, tmask

@@ -179,6 +179,7 @@ def render_page(
     h: int = 256,
     w: int = 320,
     max_lines: int = 4,
+    lh_range: tuple[int, int] = (20, 36),
 ):
     """A page of text lines.  Returns (img [h,w,3] u8, boxes [N,4] xyxy,
     texts)."""
@@ -188,7 +189,7 @@ def render_page(
     n_lines = int(rng.integers(1, max_lines + 1))
     y = int(rng.integers(4, 20))
     for _ in range(n_lines):
-        lh = int(rng.integers(20, 36))
+        lh = int(rng.integers(lh_range[0], lh_range[1]))
         text = random_text(rng, usable, 10)
         line = render_line(text, lh)
         lw = min(line.shape[1], w - 8)

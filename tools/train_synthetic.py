@@ -1,0 +1,275 @@
+#!/usr/bin/env python
+"""Train the three pipeline models from scratch on synthetic rendered text.
+
+Produces ``trained_weights/{rec,cls,det}.npz`` + ``charset.txt`` — working
+artifacts for the e2e accuracy oracle and the full-pipeline benchmark in
+no-network environments (real PP-OCRv4 weights need the onnx bridge + a
+network).  Designed for the tunneled single TPU chip: datasets are rendered
+on host once, uploaded once, and every train step runs fully on device
+(see retto_tpu.train.data).
+
+Usage:  python tools/train_synthetic.py [rec|cls|det|all] [--steps-scale S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from retto_tpu.models import build_cls, build_det, build_rec
+from retto_tpu.ops.charset import CharacterDict, ascii_charset
+from retto_tpu.ops.ctc import ctc_greedy_decode
+from retto_tpu.train.data import (
+    ClsDeviceData,
+    DetDeviceData,
+    RecDeviceData,
+    gather_cls_batch,
+    gather_det_batch,
+    gather_rec_batch,
+)
+from retto_tpu.train.losses import cls_loss, ctc_loss, db_loss
+from retto_tpu.train.synth import default_font, render_line, render_page, random_text
+from retto_tpu.train.trainer import TrainState, init_train_state
+from retto_tpu.weights import save_params
+
+OUT = REPO / "trained_weights"
+CHARS = CharacterDict(ascii_charset())
+REC_W = 320
+REC_H = 48
+DET_S = 512
+
+
+def _fonts_cycle(rng):
+    return int(rng.integers(0, 4))
+
+
+def render_rec_dataset(rng, n):
+    imgs, labels, lengths, texts = [], [], [], []
+    max_len = 16
+    usable = CHARS.chars[1:-1]
+    for i in range(n):
+        text = random_text(rng, usable, max_len)
+        fg, bg = ((255, 255, 255), (0, 0, 0)) if rng.random() < 0.3 else ((0, 0, 0), (255, 255, 255))
+        img = render_line(
+            text, REC_H,
+            font=default_font(int(rng.integers(26, 44)), _fonts_cycle(rng)),
+            fg=fg, bg=bg,
+        )
+        if img.shape[1] > REC_W:  # too wide for the bucket: trim the text
+            img = img[:, :REC_W]
+        ids = CHARS.encode(text)[:max_len]
+        imgs.append(img)
+        labels.append(ids + [0] * (max_len - len(ids)))
+        lengths.append(len(ids))
+        texts.append(text)
+    return imgs, np.asarray(labels), np.asarray(lengths), texts
+
+
+def train_rec(steps=4000, batch=64, lr=1e-3, data_n=6144, seed=0):
+    rng = np.random.default_rng(seed)
+    print(f"[rec] rendering {data_n} lines ...", flush=True)
+    imgs, labels, lengths, _ = render_rec_dataset(rng, data_n)
+    data = RecDeviceData.build(imgs, labels, lengths, REC_W)
+
+    model = build_rec("mobile", num_classes=CHARS.num_classes, compute_dtype="bfloat16")
+    warm = min(200, max(steps // 10, 1))
+    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warm, max(steps, warm + 1))
+    tx = optax.adamw(sched, weight_decay=1e-4)
+    x0, _, _ = gather_rec_batch(data, jnp.arange(batch))
+    state = init_train_state(model, tx, np.zeros((2, 3, REC_H, REC_W), np.float32))
+
+    def apply_logits(variables, x, train=False, mutable=None):
+        kw = dict(train=train, return_logits=True)
+        if mutable:
+            return model.apply(variables, x, mutable=mutable, **kw)
+        return model.apply(variables, x, **kw)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, data, idx):
+        x, lab, ln = gather_rec_batch(data, idx)
+
+        def compute(params):
+            out, upd = apply_logits(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return ctc_loss(out, lab, ln), upd["batch_stats"]
+
+        (loss, stats), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
+        updates, opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt, stats, state.step + 1), loss
+
+    t0 = time.time()
+    for i in range(steps):
+        idx = jnp.asarray(rng.integers(0, data_n, batch))
+        state, loss = step(state, data, idx)
+        if i % 200 == 0 or i == steps - 1:
+            print(f"[rec] step {i}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
+
+    # quick accuracy eval on fresh samples
+    eval_imgs, eval_labels, eval_lengths, eval_texts = render_rec_dataset(rng, 64)
+    ed = RecDeviceData.build(eval_imgs, eval_labels, eval_lengths, REC_W)
+    x, _, _ = gather_rec_batch(ed, jnp.arange(64))
+    probs = jax.jit(model.apply)(
+        {"params": state.params, "batch_stats": state.batch_stats}, x
+    )
+    idx_, keep, _ = ctc_greedy_decode(probs)
+    preds = CHARS.decode_indices(np.asarray(idx_), np.asarray(keep))
+    acc = np.mean([p == t for p, t in zip(preds, eval_texts)])
+    print(f"[rec] exact-match accuracy on 64 fresh lines: {acc:.3f}")
+    print("[rec] samples:", list(zip(preds[:5], eval_texts[:5])))
+    save_params(OUT / "rec.npz", {"params": state.params, "batch_stats": state.batch_stats})
+    (OUT / "charset.txt").write_text("\n".join(CHARS.chars[1:-1]), encoding="utf-8")
+    return float(acc)
+
+
+def train_cls(steps=1200, batch=64, lr=1e-3, data_n=2048, seed=1):
+    rng = np.random.default_rng(seed)
+    print(f"[cls] rendering {data_n} lines ...", flush=True)
+    usable = CHARS.chars[1:-1]
+    imgs = []
+    for _ in range(data_n):
+        imgs.append(
+            render_line(
+                random_text(rng, usable, 12), 48,
+                font=default_font(int(rng.integers(26, 44)), _fonts_cycle(rng)),
+            )
+        )
+    data = ClsDeviceData.build(imgs, 192)
+    model = build_cls("mobile", compute_dtype="bfloat16")
+    tx = optax.adam(lr)
+    state = init_train_state(model, tx, np.zeros((2, 3, 48, 192), np.float32))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, data, idx, rot):
+        x, lab = gather_cls_batch(data, idx, rot)
+
+        def compute(params):
+            out, upd = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return cls_loss(out, lab), upd["batch_stats"]
+
+        (loss, stats), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
+        updates, opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt, stats, state.step + 1), loss
+
+    t0 = time.time()
+    for i in range(steps):
+        idx = jnp.asarray(rng.integers(0, data_n, batch))
+        rot = jnp.asarray(rng.integers(0, 2, batch))
+        state, loss = step(state, data, idx, rot)
+        if i % 200 == 0 or i == steps - 1:
+            print(f"[cls] step {i}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
+
+    # eval
+    idx = jnp.asarray(rng.integers(0, data_n, 128))
+    rot = jnp.asarray(rng.integers(0, 2, 128))
+    x, lab = gather_cls_batch(data, idx, rot)
+    probs = jax.jit(model.apply)(
+        {"params": state.params, "batch_stats": state.batch_stats}, x
+    )
+    acc = float((np.asarray(probs).argmax(1) == np.asarray(lab)).mean())
+    print(f"[cls] accuracy: {acc:.3f}")
+    save_params(OUT / "cls.npz", {"params": state.params, "batch_stats": state.batch_stats})
+    return acc
+
+
+def render_det_dataset(rng, n):
+    pages, boxes = [], []
+    for i in range(n):
+        lh_lo = int(rng.integers(16, 40))
+        lh_hi = lh_lo + int(rng.integers(8, 90))
+        img, bx, _ = render_page(
+            rng, CHARS, DET_S, DET_S, max_lines=6, lh_range=(lh_lo, min(lh_hi, 120))
+        )
+        pages.append(img)
+        boxes.append(bx)
+    return pages, boxes
+
+
+def train_det(steps=2500, batch=8, lr=5e-4, data_n=384, seed=2):
+    rng = np.random.default_rng(seed)
+    print(f"[det] rendering {data_n} pages ...", flush=True)
+    pages, boxes = render_det_dataset(rng, data_n)
+    data = DetDeviceData.build(pages, boxes)
+    model = build_det("mobile", compute_dtype="bfloat16")
+    warm = min(200, max(steps // 10, 1))
+    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warm, max(steps, warm + 1))
+    tx = optax.adamw(sched, weight_decay=1e-4)
+    state = init_train_state(
+        model, tx, np.zeros((2, 3, 128, 128), np.float32)
+    )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, data, idx):
+        x, gs, gm, gt, gtm = gather_det_batch(data, idx)
+
+        def compute(params):
+            out, upd = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return db_loss(out, gs, gm, gt, gtm), upd["batch_stats"]
+
+        (loss, stats), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
+        updates, opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt, stats, state.step + 1), loss
+
+    t0 = time.time()
+    for i in range(steps):
+        idx = jnp.asarray(rng.integers(0, data_n, batch))
+        state, loss = step(state, data, idx)
+        if i % 100 == 0 or i == steps - 1:
+            print(f"[det] step {i}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
+
+    save_params(OUT / "det.npz", {"params": state.params, "batch_stats": state.batch_stats})
+    # quick qualitative eval: mean prob inside/outside text on a fresh page
+    img, bx, _ = render_page(rng, CHARS, DET_S, DET_S, lh_range=(24, 60))
+    x = ((img[..., ::-1].astype(np.float32) / 255.0) - 0.5) / 0.5
+    x = np.transpose(x, (2, 0, 1))[None]
+    pred = jax.jit(model.apply)(
+        {"params": state.params, "batch_stats": state.batch_stats}, jnp.asarray(x)
+    )
+    p = np.asarray(pred[0, 0])
+    inside = np.zeros(p.shape, bool)
+    for (x0, y0, x1, y1) in bx.astype(int):
+        inside[y0 + 4 : y1 - 4, x0 + 4 : x1 - 4] = True
+    print(
+        f"[det] prob inside text: {p[inside].mean():.3f}  outside: {p[~inside].mean():.3f}"
+    )
+    return float(p[inside].mean()) if inside.any() else 0.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("target", choices=["rec", "cls", "det", "all"], nargs="?", default="all")
+    ap.add_argument("--steps-scale", type=float, default=1.0)
+    args = ap.parse_args()
+    OUT.mkdir(exist_ok=True)
+    s = args.steps_scale
+    if args.target in ("rec", "all"):
+        train_rec(steps=int(4000 * s))
+    if args.target in ("cls", "all"):
+        train_cls(steps=int(1200 * s))
+    if args.target in ("det", "all"):
+        train_det(steps=int(2500 * s))
+
+
+if __name__ == "__main__":
+    main()
