@@ -1,0 +1,156 @@
+"""Command-line front end.
+
+Mirror of the reference CLI (/root/reference/retto-cli/src/main.rs): walk a
+directory of images, run the three-stage session on each, report average
+latency — plus what the reference left as TODO (main.rs:88: results are
+never emitted): JSON output, per-stage timing, throughput, and the fused
+device pipeline.
+
+Usage:
+    retto ocr IMAGES_DIR [--weights-dir trained_weights] [--json-out out.jsonl]
+    retto info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+__all__ = ["main"]
+
+IMAGE_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".webp", ".gif", ".tiff"}
+
+
+def _build_session(args):
+    from .config import PipelineMode, SessionConfig
+    from .ops.charset import CharacterDict
+    from .pipeline.session import RettoSession
+
+    cfg = SessionConfig()
+    cfg.mode = PipelineMode(args.mode)
+    if args.limit_side_len:
+        cfg.det.limit_side_len = args.limit_side_len
+    if args.no_cls:
+        cfg.use_cls = False
+    charset = None
+    weights = None
+    wd = Path(args.weights_dir) if args.weights_dir else None
+    if wd and (wd / "rec.npz").exists():
+        weights = {k: str(wd / f"{k}.npz") for k in ("det", "cls", "rec")}
+        cs = wd / "charset.txt"
+        if cs.exists():
+            charset = CharacterDict(cs.read_text(encoding="utf-8").splitlines())
+    if args.charset:
+        charset = CharacterDict.from_file(args.charset)
+    return RettoSession(cfg, preset=args.preset, charset=charset, weights=weights)
+
+
+def cmd_ocr(args) -> int:
+    from .errors import RettoError
+    from .utils import StageTimers
+
+    root = Path(args.images)
+    if root.is_file():
+        files = [root]
+    else:
+        files = sorted(
+            p for p in root.rglob("*") if p.suffix.lower() in IMAGE_EXTS
+        )
+    if not files:
+        print(f"no images found under {root}", file=sys.stderr)
+        return 1
+    print(f"Found {len(files)} files, processing...", file=sys.stderr)
+
+    session = _build_session(args)
+    runner = session.device_pipeline() if args.device_pipeline else session
+
+    out_f = open(args.json_out, "w", encoding="utf-8") if args.json_out else None
+    timers = StageTimers()
+    n_ok = 0
+    t0 = time.perf_counter()
+    for f in files:
+        try:
+            with timers.time("image"):
+                res = session_run(runner, f.read_bytes())
+            n_ok += 1
+        except RettoError as e:
+            print(f"{f}: ERROR {e}", file=sys.stderr)
+            continue
+        line = {
+            "file": str(f),
+            "texts": [
+                {"text": t.text, "score": round(t.score, 4)}
+                for t in res.rec_result
+            ],
+        }
+        if args.full:
+            line["result"] = res.to_dict()
+        if out_f:
+            out_f.write(json.dumps(line, ensure_ascii=False) + "\n")
+        else:
+            texts = " | ".join(t.text for t in res.rec_result)
+            print(f"{f.name}: {texts}")
+    dt = time.perf_counter() - t0
+    if out_f:
+        out_f.close()
+    avg = dt / max(n_ok, 1)
+    print(
+        f"Successfully processed {n_ok} images, avg time: {avg*1000:.1f} ms "
+        f"({n_ok/dt:.2f} images/sec)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def session_run(runner, data: bytes):
+    return runner.run(data)
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from . import __version__
+
+    print(f"retto-tpu {__version__}")
+    print(f"jax {jax.__version__}; devices: {jax.devices()}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="retto", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ocr = sub.add_parser("ocr", help="run OCR over a file or directory")
+    ocr.add_argument("images", help="image file or directory")
+    ocr.add_argument("--weights-dir", default="trained_weights")
+    ocr.add_argument("--charset", default=None, help="character dict file")
+    ocr.add_argument("--preset", default="mobile",
+                     choices=["tiny", "mobile", "server"])
+    ocr.add_argument("--mode", default="performance",
+                     choices=["compat", "performance"])
+    ocr.add_argument("--device-pipeline", action="store_true",
+                     help="use the fused device-resident fast path")
+    ocr.add_argument("--json-out", default=None, help="write JSONL results")
+    ocr.add_argument("--full", action="store_true",
+                     help="include boxes/labels in JSON output")
+    ocr.add_argument("--limit-side-len", type=int, default=None)
+    ocr.add_argument("--no-cls", action="store_true")
+    ocr.add_argument("-v", "--verbose", action="store_true")
+    ocr.set_defaults(fn=cmd_ocr)
+
+    info = sub.add_parser("info", help="show version and devices")
+    info.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if getattr(args, "verbose", False) else logging.INFO
+    )
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,7 +76,7 @@ def render_rec_dataset(rng, n):
     return imgs, np.asarray(labels), np.asarray(lengths), texts
 
 
-def train_rec(steps=4000, batch=64, lr=1e-3, data_n=6144, seed=0):
+def train_rec(steps=9000, batch=96, lr=1.2e-3, data_n=16384, seed=0):
     rng = np.random.default_rng(seed)
     print(f"[rec] rendering {data_n} lines ...", flush=True)
     imgs, labels, lengths, _ = render_rec_dataset(rng, data_n)
@@ -135,18 +135,26 @@ def train_rec(steps=4000, batch=64, lr=1e-3, data_n=6144, seed=0):
     return float(acc)
 
 
-def train_cls(steps=1200, batch=64, lr=1e-3, data_n=2048, seed=1):
+def train_cls(steps=2500, batch=96, lr=1e-3, data_n=6144, seed=1):
     rng = np.random.default_rng(seed)
     print(f"[cls] rendering {data_n} lines ...", flush=True)
     usable = CHARS.chars[1:-1]
     imgs = []
     for _ in range(data_n):
-        imgs.append(
-            render_line(
-                random_text(rng, usable, 12), 48,
-                font=default_font(int(rng.integers(26, 44)), _fonts_cycle(rng)),
-            )
+        fg, bg = ((255, 255, 255), (0, 0, 0)) if rng.random() < 0.3 else ((0, 0, 0), (255, 255, 255))
+        img = render_line(
+            random_text(rng, usable, 12), int(rng.integers(32, 49)),
+            font=default_font(int(rng.integers(24, 44)), _fonts_cycle(rng)),
+            fg=fg, bg=bg,
         )
+        # height-jitter to 48 like a warped det crop would land
+        if img.shape[0] != 48:
+            from PIL import Image as _I
+            import numpy as _np
+            scale = 48 / img.shape[0]
+            img = _np.asarray(_I.fromarray(img).resize(
+                (max(int(img.shape[1] * scale), 8), 48), _I.BILINEAR))
+        imgs.append(img)
     data = ClsDeviceData.build(imgs, 192)
     model = build_cls("mobile", compute_dtype="bfloat16")
     tx = optax.adam(lr)
@@ -197,12 +205,19 @@ def render_det_dataset(rng, n):
         img, bx, _ = render_page(
             rng, CHARS, DET_S, DET_S, max_lines=6, lh_range=(lh_lo, min(lh_hi, 120))
         )
+        if rng.random() < 0.3 and len(bx):
+            # 180-rotated pages: det must fire on upside-down text too
+            # (the cls stage is what un-rotates it, like the reference's
+            # own e2e test, session.rs:201-204)
+            img = img[::-1, ::-1].copy()
+            bx = np.stack([DET_S - bx[:, 2], DET_S - bx[:, 3],
+                           DET_S - bx[:, 0], DET_S - bx[:, 1]], axis=1)
         pages.append(img)
         boxes.append(bx)
     return pages, boxes
 
 
-def train_det(steps=2500, batch=8, lr=5e-4, data_n=384, seed=2):
+def train_det(steps=6000, batch=8, lr=8e-4, data_n=640, seed=2):
     rng = np.random.default_rng(seed)
     print(f"[det] rendering {data_n} pages ...", flush=True)
     pages, boxes = render_det_dataset(rng, data_n)
