@@ -1,0 +1,275 @@
+"""ONNX bridge tests — hermetic: models are encoded with the built-in
+protobuf writer, parsed back, translated to JAX, and checked against NumPy
+reference math (the ``onnx`` package does not exist in this environment)."""
+
+import numpy as np
+import pytest
+
+from retto_tpu.weights.onnx_bridge import build_fn
+from retto_tpu.weights.onnx_proto import (
+    encode_model,
+    encode_node,
+    parse_model,
+    tensor_to_numpy,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def run_model(model_bytes, *inputs):
+    import jax
+
+    fn, params = build_fn(model_bytes)
+    out = jax.jit(fn)(params, *inputs)
+    return np.asarray(out)
+
+
+class TestWireFormat:
+    def test_roundtrip_initializer(self):
+        w = RNG.normal(size=(4, 3, 3, 3)).astype(np.float32)
+        m = encode_model(
+            [encode_node("Identity", ["w"], ["y"])],
+            {"w": w},
+            {},
+            {"y": list(w.shape)},
+        )
+        parsed = parse_model(m)
+        assert parsed.producer == "retto-tpu"
+        assert parsed.opset == 13
+        np.testing.assert_array_equal(
+            tensor_to_numpy(parsed.graph.initializers["w"]), w
+        )
+        assert parsed.graph.nodes[0].op_type == "Identity"
+
+    def test_attributes_roundtrip(self):
+        m = encode_model(
+            [
+                encode_node(
+                    "Conv", ["x", "w"], ["y"],
+                    strides=[2, 2], pads=[1, 1, 1, 1], group=1,
+                    alpha=0.5, mode="constant",
+                )
+            ],
+            {}, {"x": [1]}, {"y": [1]},
+        )
+        node = parse_model(m).graph.nodes[0]
+        assert node.attrs["strides"] == [2, 2]
+        assert node.attrs["pads"] == [1, 1, 1, 1]
+        assert node.attrs["group"] == 1
+        assert node.attrs["alpha"] == pytest.approx(0.5)
+        assert node.attrs["mode"] == "constant"
+
+    def test_negative_ints(self):
+        m = encode_model(
+            [encode_node("Squeeze", ["x"], ["y"], axes=[-1])],
+            {}, {"x": [2, 1]}, {"y": [2]},
+        )
+        assert parse_model(m).graph.nodes[0].attrs["axes"] == [-1]
+
+
+class TestOps:
+    def test_conv_bn_relu(self):
+        x = RNG.normal(size=(1, 3, 8, 8)).astype(np.float32)
+        w = RNG.normal(size=(4, 3, 3, 3)).astype(np.float32) * 0.2
+        scale = RNG.uniform(0.5, 1.5, 4).astype(np.float32)
+        bias = RNG.normal(size=4).astype(np.float32)
+        mean = RNG.normal(size=4).astype(np.float32) * 0.1
+        var = RNG.uniform(0.5, 1.5, 4).astype(np.float32)
+        m = encode_model(
+            [
+                encode_node("Conv", ["x", "w"], ["c"],
+                            strides=[1, 1], pads=[1, 1, 1, 1]),
+                encode_node("BatchNormalization",
+                            ["c", "scale", "bias", "mean", "var"], ["b"],
+                            epsilon=1e-5),
+                encode_node("Relu", ["b"], ["y"]),
+            ],
+            {"w": w, "scale": scale, "bias": bias, "mean": mean, "var": var},
+            {"x": [1, 3, 8, 8]},
+            {"y": [1, 4, 8, 8]},
+        )
+        got = run_model(m, x)
+        # numpy reference
+        from scipy.signal import correlate
+
+        ref = np.zeros((1, 4, 8, 8), np.float32)
+        xp = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        for o in range(4):
+            acc = np.zeros((8, 8))
+            for c in range(3):
+                acc += correlate(xp[0, c], w[o, c], mode="valid")
+            ref[0, o] = acc
+        ref = (ref - mean.reshape(1, -1, 1, 1)) / np.sqrt(
+            var.reshape(1, -1, 1, 1) + 1e-5
+        ) * scale.reshape(1, -1, 1, 1) + bias.reshape(1, -1, 1, 1)
+        ref = np.maximum(ref, 0)
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    def test_depthwise_conv(self):
+        x = RNG.normal(size=(1, 4, 6, 6)).astype(np.float32)
+        w = RNG.normal(size=(4, 1, 3, 3)).astype(np.float32)
+        m = encode_model(
+            [encode_node("Conv", ["x", "w"], ["y"],
+                         pads=[1, 1, 1, 1], group=4)],
+            {"w": w}, {"x": [1, 4, 6, 6]}, {"y": [1, 4, 6, 6]},
+        )
+        got = run_model(m, x)
+        from scipy.signal import correlate
+
+        xp = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        for c in range(4):
+            np.testing.assert_allclose(
+                got[0, c], correlate(xp[0, c], w[c, 0], mode="valid"),
+                atol=1e-4,
+            )
+
+    def test_gemm_and_softmax(self):
+        x = RNG.normal(size=(2, 5)).astype(np.float32)
+        w = RNG.normal(size=(4, 5)).astype(np.float32)
+        b = RNG.normal(size=4).astype(np.float32)
+        m = encode_model(
+            [
+                encode_node("Gemm", ["x", "w", "b"], ["g"], transB=1),
+                encode_node("Softmax", ["g"], ["y"], axis=-1),
+            ],
+            {"w": w, "b": b}, {"x": [2, 5]}, {"y": [2, 4]},
+        )
+        got = run_model(m, x)
+        z = x @ w.T + b
+        ref = np.exp(z - z.max(-1, keepdims=True))
+        ref /= ref.sum(-1, keepdims=True)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_shape_constant_folding(self):
+        # Paddle-style dynamic reshape: Shape -> Gather -> Concat -> Reshape
+        x = RNG.normal(size=(2, 3, 4)).astype(np.float32)
+        m = encode_model(
+            [
+                encode_node("Shape", ["x"], ["sh"]),
+                encode_node("Gather", ["sh", "i0"], ["d0"], axis=0),
+                encode_node("Unsqueeze", ["d0"], ["d0u"], axes=[0]),
+                encode_node("Concat", ["d0u", "minus1"], ["tgt"], axis=0),
+                encode_node("Reshape", ["x", "tgt"], ["y"]),
+            ],
+            {
+                "i0": np.asarray(0, np.int64),
+                "minus1": np.asarray([-1], np.int64),
+            },
+            {"x": [2, 3, 4]},
+            {"y": [2, 12]},
+        )
+        got = run_model(m, x)
+        np.testing.assert_allclose(got, x.reshape(2, 12))
+
+    def test_maxpool_and_gap(self):
+        x = RNG.normal(size=(1, 2, 8, 8)).astype(np.float32)
+        m = encode_model(
+            [
+                encode_node("MaxPool", ["x"], ["p"],
+                            kernel_shape=[2, 2], strides=[2, 2]),
+                encode_node("GlobalAveragePool", ["p"], ["y"]),
+            ],
+            {}, {"x": [1, 2, 8, 8]}, {"y": [1, 2, 1, 1]},
+        )
+        got = run_model(m, x)
+        pooled = x.reshape(1, 2, 4, 2, 4, 2).max((3, 5))
+        np.testing.assert_allclose(
+            got, pooled.mean((2, 3), keepdims=True), atol=1e-6
+        )
+
+    def test_hardsigmoid_hardswish_clip(self):
+        x = np.linspace(-4, 4, 9, dtype=np.float32).reshape(1, 9)
+        m = encode_model(
+            [
+                encode_node("HardSigmoid", ["x"], ["h"], alpha=0.2, beta=0.5),
+                encode_node("Mul", ["x", "h"], ["y"]),
+            ],
+            {}, {"x": [1, 9]}, {"y": [1, 9]},
+        )
+        got = run_model(m, x)
+        ref = x * np.clip(x * 0.2 + 0.5, 0, 1)
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_conv_transpose_upsamples(self):
+        x = RNG.normal(size=(1, 3, 4, 4)).astype(np.float32)
+        w = RNG.normal(size=(3, 2, 2, 2)).astype(np.float32)  # [Cin, Cout, k, k]
+        m = encode_model(
+            [encode_node("ConvTranspose", ["x", "w"], ["y"],
+                         strides=[2, 2])],
+            {"w": w}, {"x": [1, 3, 4, 4]}, {"y": [1, 2, 8, 8]},
+        )
+        got = run_model(m, x)
+        assert got.shape == (1, 2, 8, 8)
+        # torch reference
+        import torch
+
+        ref = torch.nn.functional.conv_transpose2d(
+            torch.from_numpy(x), torch.from_numpy(w), stride=2
+        ).numpy()
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    def test_slice_transpose_concat(self):
+        x = RNG.normal(size=(2, 6, 4)).astype(np.float32)
+        m = encode_model(
+            [
+                encode_node("Slice", ["x", "st", "en", "ax"], ["s"]),
+                encode_node("Transpose", ["s"], ["t"], perm=[0, 2, 1]),
+                encode_node("Concat", ["t", "t"], ["y"], axis=0),
+            ],
+            {
+                "st": np.asarray([1], np.int64),
+                "en": np.asarray([4], np.int64),
+                "ax": np.asarray([1], np.int64),
+            },
+            {"x": [2, 6, 4]}, {"y": [4, 4, 3]},
+        )
+        got = run_model(m, x)
+        ref = np.concatenate([x[:, 1:4].transpose(0, 2, 1)] * 2, axis=0)
+        np.testing.assert_allclose(got, ref)
+
+    def test_resize_nearest(self):
+        x = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
+        m = encode_model(
+            [encode_node("Resize", ["x", "", "scales"], ["y"], mode="nearest")],
+            {"scales": np.asarray([1, 1, 2, 2], np.float32)},
+            {"x": [1, 1, 4, 4]}, {"y": [1, 1, 8, 8]},
+        )
+        got = run_model(m, x)
+        assert got.shape == (1, 1, 8, 8)
+        np.testing.assert_allclose(got[0, 0, ::2, ::2], x[0, 0])
+
+    def test_unsupported_op_raises(self):
+        from retto_tpu.errors import RettoWeightsError
+
+        m = encode_model(
+            [encode_node("TotallyMadeUpOp", ["x"], ["y"])],
+            {}, {"x": [1]}, {"y": [1]},
+        )
+        fn, params = build_fn(m)
+        with pytest.raises(RettoWeightsError, match="TotallyMadeUpOp"):
+            fn(params, np.zeros(1, np.float32))
+
+
+class TestMatchesOwnModels:
+    def test_attention_block_ops(self):
+        # MatMul + LayerNorm + Erf(gelu) chain like an SVTR mixer block
+        x = RNG.normal(size=(1, 8, 16)).astype(np.float32)
+        w = RNG.normal(size=(16, 16)).astype(np.float32) * 0.3
+        g = np.ones(16, np.float32)
+        b = np.zeros(16, np.float32)
+        m = encode_model(
+            [
+                encode_node("MatMul", ["x", "w"], ["h"]),
+                encode_node("LayerNormalization", ["h", "g", "b"], ["n"],
+                            axis=-1, epsilon=1e-5),
+                encode_node("Softmax", ["n"], ["y"], axis=-1),
+            ],
+            {"w": w, "g": g, "b": b}, {"x": [1, 8, 16]}, {"y": [1, 8, 16]},
+        )
+        got = run_model(m, x)
+        h = x @ w
+        n = (h - h.mean(-1, keepdims=True)) / np.sqrt(
+            h.var(-1, keepdims=True) + 1e-5
+        )
+        e = np.exp(n - n.max(-1, keepdims=True))
+        np.testing.assert_allclose(got, e / e.sum(-1, keepdims=True), atol=1e-4)
