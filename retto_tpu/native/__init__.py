@@ -1,0 +1,107 @@
+"""Native (C++) postprocess backend.
+
+Compiled lazily with g++ at first use (no pybind11 in this environment;
+plain C ABI + ctypes).  Falls back silently to the NumPy implementation
+when no compiler is available — ``available()`` reports which backend is
+active.  Force with RETTO_NATIVE=0/1.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("retto_tpu.native")
+
+_HERE = Path(__file__).parent
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+
+def _build_lib() -> Path | None:
+    src = _HERE / "postprocess.cpp"
+    out = Path(tempfile.gettempdir()) / "retto_native" / "libretto_post.so"
+    out.parent.mkdir(exist_ok=True)
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-o", str(out), str(src)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return out
+    except (OSError, subprocess.SubprocessError) as e:
+        logger.warning("native postprocess build failed (%s); using numpy", e)
+        return None
+
+
+def _load() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("RETTO_NATIVE") == "0":
+        return None
+    path = _build_lib()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(str(path))
+    lib.rt_det_postprocess.restype = ctypes.c_int
+    lib.rt_det_postprocess.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # pred
+        ctypes.POINTER(ctypes.c_uint8),  # mask
+        ctypes.c_int, ctypes.c_int,  # h, w
+        ctypes.c_double, ctypes.c_double,  # box_thresh, unclip_ratio
+        ctypes.c_int, ctypes.c_int,  # min_mini_box_size, max_candidates
+        ctypes.c_int, ctypes.c_int,  # dest_h, dest_w
+        ctypes.POINTER(ctypes.c_float),  # out_boxes
+        ctypes.POINTER(ctypes.c_float),  # out_scores
+        ctypes.c_int,  # max_boxes
+    ]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def det_postprocess_native(
+    pred: np.ndarray,
+    mask: np.ndarray,
+    box_thresh: float,
+    unclip_ratio: float,
+    min_mini_box_size: int,
+    max_candidates: int,
+    dest_h: int,
+    dest_w: int,
+    max_boxes: int = 1024,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Fused C++ det postprocess; None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pred = np.ascontiguousarray(pred, np.float32)
+    mask_u8 = np.ascontiguousarray(mask, np.uint8)
+    h, w = pred.shape
+    boxes = np.zeros((max_boxes, 4, 2), np.float32)
+    scores = np.zeros((max_boxes,), np.float32)
+    n = lib.rt_det_postprocess(
+        pred.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w,
+        float(box_thresh), float(unclip_ratio),
+        int(min_mini_box_size), int(max_candidates),
+        int(dest_h), int(dest_w),
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_boxes,
+    )
+    return boxes[:n].copy(), scores[:n].copy()

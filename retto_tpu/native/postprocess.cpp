@@ -1,0 +1,472 @@
+// Native DB detection postprocess.
+//
+// C++ counterpart of retto_tpu/ops/{contours,raster,det_postprocess}.py and
+// retto_tpu/geometry.py's min_area_rect/unclip — the slot the reference
+// fills with native code (clipper-sys C++ polygon offset + imageproc's
+// contour tracing, det_processor.rs:223-252, :293).  Semantics must match
+// the NumPy implementation bit-for-bit (tests compare both backends on the
+// same inputs); every rounding rule below mirrors the Python path.
+//
+// Build: g++ -O3 -shared -fPIC -o libretto_post.so postprocess.cpp
+// API: one fused entry point, rt_det_postprocess (see bottom).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct P {
+  double x, y;
+};
+
+// ---------------------------------------------------------------- hull //
+// Andrew monotone chain matching geometry.convex_hull: lexicographic sort
+// by (x, y), dedup, cross<=0 popping; returns lower+upper ring.
+std::vector<P> convex_hull(std::vector<P> pts) {
+  std::sort(pts.begin(), pts.end(), [](const P& a, const P& b) {
+    return a.x < b.x || (a.x == b.x && a.y < b.y);
+  });
+  pts.erase(std::unique(pts.begin(), pts.end(),
+                        [](const P& a, const P& b) {
+                          return a.x == b.x && a.y == b.y;
+                        }),
+            pts.end());
+  size_t n = pts.size();
+  if (n <= 2) return pts;
+  auto cross = [](const P& o, const P& a, const P& b) {
+    return (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x);
+  };
+  std::vector<P> hull;
+  for (const P& p : pts) {  // lower
+    while (hull.size() >= 2 &&
+           cross(hull[hull.size() - 2], hull.back(), p) <= 0)
+      hull.pop_back();
+    hull.push_back(p);
+  }
+  size_t lower = hull.size() + 1;
+  for (auto it = pts.rbegin(); it != pts.rend(); ++it) {  // upper
+    while (hull.size() >= lower &&
+           cross(hull[hull.size() - 2], hull.back(), *it) <= 0)
+      hull.pop_back();
+    hull.push_back(*it);
+  }
+  hull.pop_back();
+  return hull;
+}
+
+// order 4 corners clockwise from top-left (geometry.order_clockwise_tl:
+// stable sort by x; of the two leftmost the upper is TL).
+void order_clockwise_tl(P box[4]) {
+  int idx[4] = {0, 1, 2, 3};
+  std::stable_sort(idx, idx + 4,
+                   [&](int a, int b) { return box[a].x < box[b].x; });
+  P l0 = box[idx[0]], l1 = box[idx[1]], r0 = box[idx[2]], r1 = box[idx[3]];
+  P tl = (l0.y <= l1.y) ? l0 : l1;
+  P bl = (l0.y <= l1.y) ? l1 : l0;
+  P tr = (r0.y <= r1.y) ? r0 : r1;
+  P br = (r0.y <= r1.y) ? r1 : r0;
+  box[0] = tl; box[1] = tr; box[2] = br; box[3] = bl;
+}
+
+// rotating calipers min-area rect (geometry.min_area_rect); returns corners
+// clockwise-from-TL.  sside (min of top/bottom edge lengths — the
+// reference's quirk, det_processor.rs:182-185) is computed by the caller
+// after rounding.
+bool min_area_rect(const std::vector<P>& points, P out[4]) {
+  std::vector<P> hull = convex_hull(points);
+  size_t n = hull.size();
+  if (n == 0) return false;
+  if (n == 1) {
+    out[0] = out[1] = out[2] = out[3] = hull[0];
+    return true;
+  }
+  if (n == 2) {
+    out[0] = hull[0]; out[1] = hull[1]; out[2] = hull[1]; out[3] = hull[0];
+    order_clockwise_tl(out);
+    return true;
+  }
+  // unique angles mod pi/2 (matches np.unique on the angle array)
+  std::vector<double> angles;
+  for (size_t i = 0; i < n; i++) {
+    P e{hull[(i + 1) % n].x - hull[i].x, hull[(i + 1) % n].y - hull[i].y};
+    double a = std::fmod(std::atan2(e.y, e.x), M_PI / 2.0);
+    if (a < 0) a += M_PI / 2.0;
+    angles.push_back(a);
+  }
+  std::sort(angles.begin(), angles.end());
+  angles.erase(std::unique(angles.begin(), angles.end()), angles.end());
+  double best_area = 1e300;
+  P best[4] = {};
+  for (double a : angles) {
+    double c = std::cos(a), s = std::sin(a);
+    double mnx = 1e300, mny = 1e300, mxx = -1e300, mxy = -1e300;
+    for (const P& p : hull) {
+      double px = p.x * c + p.y * s;     // rot = [[c, s], [-s, c]]
+      double py = -p.x * s + p.y * c;
+      mnx = std::min(mnx, px); mxx = std::max(mxx, px);
+      mny = std::min(mny, py); mxy = std::max(mxy, py);
+    }
+    double area = (mxx - mnx) * (mxy - mny);
+    if (area < best_area) {
+      best_area = area;
+      P corners[4] = {{mnx, mny}, {mxx, mny}, {mxx, mxy}, {mnx, mxy}};
+      for (int k = 0; k < 4; k++) {  // rotate back: corners @ rot
+        best[k].x = corners[k].x * c - corners[k].y * s;
+        best[k].y = corners[k].x * s + corners[k].y * c;
+      }
+    }
+  }
+  // float32 round-trip to match the numpy path's float32 box dtype
+  for (int k = 0; k < 4; k++) {
+    best[k].x = (double)(float)best[k].x;
+    best[k].y = (double)(float)best[k].y;
+  }
+  order_clockwise_tl(best);
+  for (int k = 0; k < 4; k++) out[k] = best[k];
+  return true;
+}
+
+double polygon_area(const std::vector<P>& poly) {
+  double s = 0;
+  size_t n = poly.size();
+  for (size_t i = 0; i < n; i++) {
+    const P& a = poly[i];
+    const P& b = poly[(i + 1) % n];
+    s += a.x * b.y - a.y * b.x;
+  }
+  return std::fabs(s) / 2.0;
+}
+
+double polygon_perimeter(const std::vector<P>& poly) {
+  double s = 0;
+  size_t n = poly.size();
+  for (size_t i = 0; i < n; i++) {
+    const P& a = poly[i];
+    const P& b = poly[(i + 1) % n];
+    s += std::hypot(b.x - a.x, b.y - a.y);
+  }
+  return s;
+}
+
+// round-join outward offset (geometry.unclip); arc step 15 deg; output
+// coordinates rounded to integers (clipper scale-1.0 parity).
+std::vector<P> unclip(const P box[4], double ratio) {
+  std::vector<P> poly(box, box + 4);
+  double area = polygon_area(poly);
+  double per = polygon_perimeter(poly);
+  if (per <= 0) return poly;
+  double dist = area * ratio / per;
+  // ensure clockwise in image coords (positive shoelace)
+  double signed_area = 0;
+  for (size_t i = 0; i < 4; i++) {
+    const P& a = poly[i];
+    const P& b = poly[(i + 1) % 4];
+    signed_area += a.x * b.y - a.y * b.x;
+  }
+  if (signed_area < 0) std::reverse(poly.begin(), poly.end());
+
+  auto outward_normal = [](const P& a, const P& b) -> P {
+    double dx = b.x - a.x, dy = b.y - a.y;
+    double n = std::hypot(dx, dy);
+    if (n == 0) return {0, 0};
+    return {dy / n, -dx / n};
+  };
+  const double step = 15.0 * M_PI / 180.0;
+  std::vector<P> out;
+  for (size_t i = 0; i < 4; i++) {
+    const P& prev = poly[(i + 3) % 4];
+    const P& cur = poly[i];
+    const P& nxt = poly[(i + 1) % 4];
+    P nin = outward_normal(prev, cur);
+    P nout = outward_normal(cur, nxt);
+    double a0 = std::atan2(nin.y, nin.x);
+    double a1 = std::atan2(nout.y, nout.x);
+    double sweep = std::fmod(a1 - a0, 2 * M_PI);
+    if (sweep < 0) sweep += 2 * M_PI;
+    if (sweep > M_PI) {
+      out.push_back({cur.x + dist * nin.x, cur.y + dist * nin.y});
+      out.push_back({cur.x + dist * nout.x, cur.y + dist * nout.y});
+      continue;
+    }
+    int steps = std::max(1, (int)std::ceil(sweep / step));
+    for (int k = 0; k <= steps; k++) {
+      double ang = a0 + sweep * ((double)k / steps);
+      out.push_back({cur.x + dist * std::cos(ang), cur.y + dist * std::sin(ang)});
+    }
+  }
+  for (P& p : out) {
+    // np.round == ties-to-even on the float32 value
+    p.x = std::nearbyint((double)(float)p.x);
+    p.y = std::nearbyint((double)(float)p.y);
+  }
+  return out;
+}
+
+// mean prob inside quad (ops.raster.box_score_fast): clamp bbox, inclusive
+// convex fill in either orientation.
+float box_score(const float* pred, int h, int w, const P quad[4]) {
+  double minx = 1e300, maxx = -1e300, miny = 1e300, maxy = -1e300;
+  for (int k = 0; k < 4; k++) {
+    minx = std::min(minx, quad[k].x); maxx = std::max(maxx, quad[k].x);
+    miny = std::min(miny, quad[k].y); maxy = std::max(maxy, quad[k].y);
+  }
+  int x0 = (int)std::clamp(std::floor(minx), 0.0, (double)w - 1);
+  int x1 = (int)std::clamp(std::ceil(maxx), 0.0, (double)w - 1);
+  int y0 = (int)std::clamp(std::floor(miny), 0.0, (double)h - 1);
+  int y1 = (int)std::clamp(std::ceil(maxy), 0.0, (double)h - 1);
+  double sum = 0;
+  long cnt = 0;
+  for (int y = y0; y <= y1; y++) {
+    for (int x = x0; x <= x1; x++) {
+      bool neg = true, pos = true;
+      for (int k = 0; k < 4; k++) {
+        const P& a = quad[k];
+        const P& b = quad[(k + 1) % 4];
+        double cr = (b.x - a.x) * (y - a.y) - (b.y - a.y) * (x - a.x);
+        neg &= cr <= 0;
+        pos &= cr >= 0;
+      }
+      if (neg || pos) {
+        sum += pred[y * w + x];
+        cnt++;
+      }
+    }
+  }
+  return cnt ? (float)(sum / cnt) : 0.0f;
+}
+
+// connected components (8-conn fg) raster order, collecting boundary
+// pixels (fg with a 4-neighbor bg/edge); then hole rings (4-conn bg
+// regions not touching the border) — mirrors ops.contours.
+struct Contours {
+  std::vector<std::vector<P>> sets;
+};
+
+void find_contours(const uint8_t* mask, int h, int w, Contours& out) {
+  std::vector<int32_t> label(h * w, 0);
+  int next = 0;
+  std::vector<int32_t> stack;
+  auto at = [&](int y, int x) { return y * w + x; };
+  // fg components, 8-connectivity
+  std::vector<std::vector<P>> comps;
+  for (int y = 0; y < h; y++) {
+    for (int x = 0; x < w; x++) {
+      if (!mask[at(y, x)] || label[at(y, x)]) continue;
+      next++;
+      comps.emplace_back();
+      stack.push_back(at(y, x));
+      label[at(y, x)] = next;
+      while (!stack.empty()) {
+        int idx = stack.back();
+        stack.pop_back();
+        int cy = idx / w, cx = idx % w;
+        bool boundary = cy == 0 || cy == h - 1 || cx == 0 || cx == w - 1 ||
+                        !mask[at(cy - 1, cx)] || !mask[at(cy + 1, cx)] ||
+                        !mask[at(cy, cx - 1)] || !mask[at(cy, cx + 1)];
+        if (boundary) comps.back().push_back({(double)cx, (double)cy});
+        for (int dy = -1; dy <= 1; dy++) {
+          for (int dx = -1; dx <= 1; dx++) {
+            int ny = cy + dy, nx = cx + dx;
+            if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+            if (mask[at(ny, nx)] && !label[at(ny, nx)]) {
+              label[at(ny, nx)] = next;
+              stack.push_back(at(ny, nx));
+            }
+          }
+        }
+      }
+    }
+  }
+  for (auto& c : comps) out.sets.push_back(std::move(c));
+  // hole rings: bg 4-conn regions not touching the border.  One flood from
+  // the border classifies all outside bg; anything left is hole pixels
+  // (usually none — the flood is the only full-image bg pass).
+  std::vector<uint8_t> outside(h * w, 0);
+  const int d4[4][2] = {{-1, 0}, {1, 0}, {0, -1}, {0, 1}};
+  // scanline flood: seeds are whole horizontal bg runs, pushed once
+  std::vector<std::pair<int, std::pair<int, int>>> runs;  // (y, [x0, x1))
+  auto push_run = [&](int y, int x0, int x1) {
+    // extend to the full bg run containing [x0, x1)
+    while (x0 > 0 && !mask[at(y, x0 - 1)] && !outside[at(y, x0 - 1)]) x0--;
+    while (x1 < w && !mask[at(y, x1)] && !outside[at(y, x1)]) x1++;
+    bool any = false;
+    for (int x = x0; x < x1; x++) {
+      if (!outside[at(y, x)]) { outside[at(y, x)] = 1; any = true; }
+    }
+    if (any) runs.push_back({y, {x0, x1}});
+  };
+  for (int x = 0; x < w; x++) {
+    if (!mask[at(0, x)] && !outside[at(0, x)]) push_run(0, x, x + 1);
+    if (!mask[at(h - 1, x)] && !outside[at(h - 1, x)]) push_run(h - 1, x, x + 1);
+  }
+  for (int y = 0; y < h; y++) {
+    if (!mask[at(y, 0)] && !outside[at(y, 0)]) push_run(y, 0, 1);
+    if (!mask[at(y, w - 1)] && !outside[at(y, w - 1)]) push_run(y, w - 1, w);
+  }
+  while (!runs.empty()) {
+    auto [y, xr] = runs.back();
+    runs.pop_back();
+    for (int ny : {y - 1, y + 1}) {
+      if (ny < 0 || ny >= h) continue;
+      int x = xr.first;
+      while (x < xr.second) {
+        if (!mask[at(ny, x)] && !outside[at(ny, x)]) {
+          int x0 = x;
+          while (x < w && !mask[at(ny, x)] && !outside[at(ny, x)]) x++;
+          push_run(ny, x0, x);
+        } else {
+          x++;
+        }
+      }
+    }
+  }
+  std::vector<int32_t> blabel(h * w, 0);
+  int bnext = 0;
+  for (int y = 1; y < h - 1; y++) {
+    for (int x = 1; x < w - 1; x++) {
+      if (mask[at(y, x)] || outside[at(y, x)] || blabel[at(y, x)]) continue;
+      bnext++;
+      std::vector<int32_t> pix;
+      stack.push_back(at(y, x));
+      blabel[at(y, x)] = bnext;
+      while (!stack.empty()) {
+        int idx = stack.back();
+        stack.pop_back();
+        pix.push_back(idx);
+        int cy = idx / w, cx = idx % w;
+        for (auto& d : d4) {
+          int ny = cy + d[0], nx = cx + d[1];
+          if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+          if (!mask[at(ny, nx)] && !blabel[at(ny, nx)] && !outside[at(ny, nx)]) {
+            blabel[at(ny, nx)] = bnext;
+            stack.push_back(at(ny, nx));
+          }
+        }
+      }
+      // ring = fg pixels 8-adjacent to the hole
+      std::vector<uint8_t> seen(h * w, 0);
+      std::vector<P> ring;
+      for (int idx : pix) {
+        int cy = idx / w, cx = idx % w;
+        for (int dy = -1; dy <= 1; dy++) {
+          for (int dx = -1; dx <= 1; dx++) {
+            int ny = cy + dy, nx = cx + dx;
+            if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+            if (mask[at(ny, nx)] && !seen[at(ny, nx)]) {
+              seen[at(ny, nx)] = 1;
+              ring.push_back({(double)nx, (double)ny});
+            }
+          }
+        }
+      }
+      if (!ring.empty()) {
+        // match numpy np.nonzero raster order
+        std::sort(ring.begin(), ring.end(), [](const P& a, const P& b) {
+          return a.y < b.y || (a.y == b.y && a.x < b.x);
+        });
+        out.sets.push_back(std::move(ring));
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused det postprocess.  Inputs: pred [h*w] f32 prob map, mask [h*w] u8,
+// dest_h/dest_w rescale target, thresholds.  Outputs: boxes (max_boxes*8
+// floats, clockwise-from-TL), scores (max_boxes).  Returns box count.
+int rt_det_postprocess(const float* pred, const uint8_t* mask, int h, int w,
+                       double box_thresh, double unclip_ratio,
+                       int min_mini_box_size, int max_candidates,
+                       int dest_h, int dest_w, float* out_boxes,
+                       float* out_scores, int max_boxes) {
+  Contours cont;
+  find_contours(mask, h, w, cont);
+  size_t ncand = cont.sets.size();
+  if (max_candidates > 0 && ncand > (size_t)max_candidates)
+    ncand = max_candidates;
+
+  struct Cand {
+    P box[4];
+    float score;
+    double cx, cy;
+  };
+  std::vector<Cand> cands;
+  for (size_t ci = 0; ci < ncand; ci++) {
+    P box[4];
+    if (!min_area_rect(cont.sets[ci], box)) continue;
+    // quantize like the reference's integer-typed first mini box
+    for (int k = 0; k < 4; k++) {
+      box[k].x = std::nearbyint((double)(float)box[k].x);
+      box[k].y = std::nearbyint((double)(float)box[k].y);
+    }
+    double side1 = std::hypot(box[0].x - box[1].x, box[0].y - box[1].y);
+    double side2 = std::hypot(box[3].x - box[2].x, box[3].y - box[2].y);
+    if (std::min(side1, side2) < (double)min_mini_box_size) continue;
+    float score = box_score(pred, h, w, box);
+    if (score < box_thresh) continue;
+    std::vector<P> grown = unclip(box, unclip_ratio);
+    P box2[4];
+    if (!min_area_rect(grown, box2)) continue;
+    double s1 = std::hypot(box2[0].x - box2[1].x, box2[0].y - box2[1].y);
+    double s2 = std::hypot(box2[3].x - box2[2].x, box2[3].y - box2[2].y);
+    if (std::min(s1, s2) < (double)(min_mini_box_size + 2)) continue;
+    // scale_and_clip (points.rs:179-194 via geometry.scale_and_clip:
+    // float64 scale, np.round ties-to-even, clamp)
+    P box3[4];
+    double invx = (double)dest_w / w, invy = (double)dest_h / h;
+    for (int k = 0; k < 4; k++) {
+      double xx = std::nearbyint((double)(float)box2[k].x * invx);
+      double yy = std::nearbyint((double)(float)box2[k].y * invy);
+      box3[k].x = (double)(float)std::clamp(xx, 0.0, (double)dest_w - 1);
+      box3[k].y = (double)(float)std::clamp(yy, 0.0, (double)dest_h - 1);
+    }
+    double bh = std::hypot(box3[0].x - box3[3].x, box3[0].y - box3[3].y);
+    double bw = std::hypot(box3[0].x - box3[1].x, box3[0].y - box3[1].y);
+    if (bh <= 3.0 || bw <= 3.0) continue;
+    Cand c;
+    std::memcpy(c.box, box3, sizeof(box3));
+    c.score = score;
+    c.cx = (box3[0].x + box3[2].x) / 2.0;
+    c.cy = (box3[0].y + box3[2].y) / 2.0;
+    cands.push_back(c);
+  }
+
+  // reading-order sort: stable by center y, then adjacent left-right swaps
+  // within 10 px rows (geometry.sort_boxes_reading_order)
+  std::vector<int> idx(cands.size());
+  for (size_t i = 0; i < idx.size(); i++) idx[i] = (int)i;
+  std::stable_sort(idx.begin(), idx.end(), [&](int a, int b) {
+    return (float)cands[a].cy < (float)cands[b].cy;
+  });
+  int n = (int)idx.size();
+  for (int i = 0; i < n - 1; i++) {
+    for (int j = i; j >= 0; j--) {
+      int a = idx[j], b = idx[j + 1];
+      if (std::fabs((float)cands[b].cy - (float)cands[a].cy) < 10.0f &&
+          (float)cands[b].cx < (float)cands[a].cx) {
+        std::swap(idx[j], idx[j + 1]);
+      } else {
+        break;
+      }
+    }
+  }
+
+  int out_n = std::min(n, max_boxes);
+  for (int i = 0; i < out_n; i++) {
+    const Cand& c = cands[idx[i]];
+    for (int k = 0; k < 4; k++) {
+      out_boxes[i * 8 + k * 2] = (float)c.box[k].x;
+      out_boxes[i * 8 + k * 2 + 1] = (float)c.box[k].y;
+    }
+    out_scores[i] = c.score;
+  }
+  return out_n;
+}
+
+}  // extern "C"

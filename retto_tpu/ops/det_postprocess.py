@@ -38,6 +38,7 @@ def det_postprocess(
     cfg: DetConfig,
     dest_h: int,
     dest_w: int,
+    backend: str = "auto",
 ) -> tuple[np.ndarray, np.ndarray]:
     """pred: [H, W] float32 probability map (det model output, same size as
     the det input image); mask: [H, W] binarized/dilated map; dest_h/dest_w:
@@ -47,7 +48,23 @@ def det_postprocess(
 
     Returns (boxes [N, 4, 2] float32 in dest coords, scores [N] float32),
     sorted in reading order.
+
+    ``backend``: "auto" uses the fused C++ implementation when a compiler
+    is available (retto_tpu.native — the slot the reference fills with
+    clipper-sys C++), "numpy" forces the Python path, "native" requires C++.
     """
+    if backend != "numpy":
+        from ..native import det_postprocess_native
+
+        out = det_postprocess_native(
+            pred, mask, cfg.box_thresh, cfg.unclip_ratio,
+            cfg.min_mini_box_size, cfg.max_candidates, dest_h, dest_w,
+        )
+        if out is not None:
+            return out
+        if backend == "native":
+            raise RuntimeError("native postprocess backend unavailable")
+
     h, w = pred.shape
     boxes: list[np.ndarray] = []
     scores: list[float] = []

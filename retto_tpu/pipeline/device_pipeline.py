@@ -42,7 +42,7 @@ import numpy as np
 from ..config import PipelineMode, SessionConfig
 from ..geometry import PointBox, scale_and_clip
 from ..image.io import ImageHelper, _pil_resize, decode_image, perspective_coeffs
-from ..image.resize import resize_either_dims
+from .stages import _bucket_up, _next_bucket, det_input_dims
 from ..image.warp import warp_crops
 from ..ops.charset import CharacterDict
 from ..ops.ctc import ctc_greedy_decode
@@ -57,7 +57,6 @@ from ..results import (
     RecResult,
     RecText,
 )
-from .stages import _bucket_up, _next_bucket
 
 __all__ = ["DevicePipeline"]
 
@@ -164,8 +163,9 @@ class DevicePipeline:
             ori_h, ori_w = img.size()
             img.resize_both(cfg.max_side_len, cfg.min_side_len)
             ah, aw = img.size()
-            rh, rw = resize_either_dims(
-                ah, aw, cfg.det.limit_type, cfg.det.limit_side_len
+            rh, rw = det_input_dims(
+                ah, aw, cfg.det.limit_type, cfg.det.limit_side_len,
+                cfg.buckets.det_max_side,
             )
             det_img = (
                 img.img if (rh, rw) == (ah, aw) else _pil_resize(img.img, rw, rh)

@@ -39,6 +39,21 @@ def _bucket_up(v: int, step: int, cap: int) -> int:
     return min(int(math.ceil(v / step)) * step, cap)
 
 
+def det_input_dims(
+    ah: int, aw: int, limit_type, limit_side_len: int, max_side: int
+) -> tuple[int, int]:
+    """resize_either dims clamped so both dims fit the det bucket cap
+    (BucketConfig.det_max_side).  The clamp only triggers on extreme
+    aspect-ratio upscales (e.g. a 640x200 input explodes to 2368 px wide
+    under the reference's min-side-736 rule); the result stays /32."""
+    rh, rw = resize_either_dims(ah, aw, limit_type, limit_side_len)
+    if max(rh, rw) > max_side:
+        scale = max_side / max(rh, rw)
+        rh = max(int(rh * scale) // 32, 1) * 32
+        rw = max(int(rw * scale) // 32, 1) * 32
+    return rh, rw
+
+
 class DetStage:
     """resize_either -> normalize(BGR) -> pad-to-bucket -> engine.det ->
     slice -> binarize+dilate (device) -> contour postprocess (host).
@@ -52,7 +67,10 @@ class DetStage:
     def __call__(self, image: ImageHelper, engine) -> tuple[np.ndarray, np.ndarray]:
         """Returns (boxes [N,4,2] float32 in ``image`` coords, scores [N])."""
         ah, aw = image.size()
-        rh, rw = resize_either_dims(ah, aw, self.cfg.limit_type, self.cfg.limit_side_len)
+        rh, rw = det_input_dims(
+            ah, aw, self.cfg.limit_type, self.cfg.limit_side_len,
+            self.buckets.det_max_side,
+        )
         resized = (
             image.img
             if (rh, rw) == (ah, aw)

@@ -68,9 +68,27 @@ def normalize_crop(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return ImageHelper(img).resize_norm_image((3, h, w), None)
 
 
-def random_text(rng: np.random.Generator, chars: Sequence[str], max_len: int = 12) -> str:
+def random_text(
+    rng: np.random.Generator,
+    chars: Sequence[str],
+    max_len: int = 12,
+    spaces: bool = True,
+) -> str:
+    """Random string; with ``spaces``, chunks are joined by single spaces so
+    models learn word gaps (the charset's trailing space is a real class)."""
     n = int(rng.integers(1, max_len + 1))
-    return "".join(rng.choice(list(chars), size=n))
+    body = "".join(rng.choice(list(chars), size=n))
+    if not spaces or n < 4:
+        return body
+    # split into 1-3 words
+    k = int(rng.integers(0, 3))
+    pos = sorted(rng.choice(np.arange(1, n), size=k, replace=False)) if k else []
+    parts, last = [], 0
+    for p in pos:
+        parts.append(body[last:p])
+        last = p
+    parts.append(body[last:])
+    return " ".join(parts)
 
 
 def make_rec_batch(

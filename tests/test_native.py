@@ -1,0 +1,73 @@
+"""Native (C++) postprocess backend: must match the NumPy path on random
+masks (the parity contract documented in native/postprocess.cpp)."""
+
+import numpy as np
+import pytest
+
+from retto_tpu.config import DetConfig
+from retto_tpu.native import available, det_postprocess_native
+from retto_tpu.ops.det_postprocess import det_postprocess
+
+pytestmark = pytest.mark.skipif(
+    not available(), reason="no C++ toolchain for the native backend"
+)
+
+
+def blobs_pred(seed, h=256, w=320, n_rects=5):
+    rng = np.random.default_rng(seed)
+    pred = np.zeros((h, w), np.float32)
+    for _ in range(n_rects):
+        x0 = int(rng.integers(0, w - 60))
+        y0 = int(rng.integers(0, h - 30))
+        bw = int(rng.integers(30, min(180, w - x0)))
+        bh = int(rng.integers(10, min(40, h - y0)))
+        pred[y0 : y0 + bh, x0 : x0 + bw] = rng.uniform(0.6, 0.95)
+    pred += rng.uniform(0, 0.15, (h, w)).astype(np.float32)
+    return np.clip(pred, 0, 1)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_native_matches_numpy(seed):
+    pred = blobs_pred(seed)
+    mask = pred > 0.3
+    cfg = DetConfig()
+    nb, ns = det_postprocess(pred, mask, cfg, 512, 640, backend="numpy")
+    cb, cs = det_postprocess(pred, mask, cfg, 512, 640, backend="native")
+    assert nb.shape == cb.shape, (nb.shape, cb.shape)
+    np.testing.assert_allclose(cb, nb, atol=1.0)  # arc discretization fp fuzz
+    np.testing.assert_allclose(cs, ns, atol=1e-4)
+
+
+def test_native_empty_mask():
+    pred = np.zeros((64, 64), np.float32)
+    out = det_postprocess_native(pred, pred > 0.3, 0.5, 1.6, 3, 1000, 64, 64)
+    assert out is not None
+    boxes, scores = out
+    assert boxes.shape == (0, 4, 2)
+
+
+def test_native_with_hole():
+    pred = np.zeros((128, 128), np.float32)
+    pred[20:100, 20:100] = 0.9
+    pred[50:70, 50:70] = 0.0  # hole
+    mask = pred > 0.3
+    cfg = DetConfig()
+    nb, _ = det_postprocess(pred, mask, cfg, 128, 128, backend="numpy")
+    cb, _ = det_postprocess(pred, mask, cfg, 128, 128, backend="native")
+    assert nb.shape == cb.shape
+
+
+def test_native_rotated_component():
+    # a rotated bar: exercises hull + calipers beyond axis-aligned
+    h = w = 200
+    ys, xs = np.mgrid[0:h, 0:w]
+    c, s = np.cos(0.4), np.sin(0.4)
+    u = (xs - 100) * c + (ys - 100) * s
+    v = -(xs - 100) * s + (ys - 100) * c
+    mask = (np.abs(u) < 70) & (np.abs(v) < 12)
+    pred = np.where(mask, 0.9, 0.02).astype(np.float32)
+    cfg = DetConfig()
+    nb, ns = det_postprocess(pred, mask, cfg, 200, 200, backend="numpy")
+    cb, cs = det_postprocess(pred, mask, cfg, 200, 200, backend="native")
+    assert len(nb) == len(cb) == 1
+    np.testing.assert_allclose(cb, nb, atol=2.0)

@@ -279,11 +279,11 @@ def main():
     OUT.mkdir(exist_ok=True)
     s = args.steps_scale
     if args.target in ("rec", "all"):
-        train_rec(steps=int(4000 * s))
+        train_rec(steps=int(9000 * s))
     if args.target in ("cls", "all"):
-        train_cls(steps=int(1200 * s))
+        train_cls(steps=int(2500 * s))
     if args.target in ("det", "all"):
-        train_det(steps=int(2500 * s))
+        train_det(steps=int(6000 * s))
 
 
 if __name__ == "__main__":
