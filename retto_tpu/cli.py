@@ -110,6 +110,14 @@ def session_run(runner, data: bytes):
     return runner.run(data)
 
 
+def cmd_serve(args) -> int:
+    from .serve import serve
+
+    session = _build_session(args)
+    serve(session, args.host, args.port)
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -144,6 +152,19 @@ def main(argv: list[str] | None = None) -> int:
 
     info = sub.add_parser("info", help="show version and devices")
     info.set_defaults(fn=cmd_info)
+
+    srv = sub.add_parser("serve", help="HTTP OCR server (NDJSON streaming)")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8471)
+    srv.add_argument("--weights-dir", default="trained_weights")
+    srv.add_argument("--charset", default=None)
+    srv.add_argument("--preset", default="mobile",
+                     choices=["tiny", "mobile", "server"])
+    srv.add_argument("--mode", default="performance",
+                     choices=["compat", "performance"])
+    srv.add_argument("--limit-side-len", type=int, default=None)
+    srv.add_argument("--no-cls", action="store_true")
+    srv.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     logging.basicConfig(

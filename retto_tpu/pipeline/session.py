@@ -63,6 +63,11 @@ class RettoSession:
         self._det = DetStage(cfg.det, cfg.buckets)
         self._cls = ClsStage(cfg.cls, cfg.buckets, cfg.mode)
         self._rec = RecStage(cfg.rec, cfg.buckets, cfg.mode, self.chars)
+        from ..utils.metrics import PipelineMetrics
+
+        self.metrics = PipelineMetrics()
+        self._cls.metrics = self.metrics
+        self._rec.metrics = self.metrics
 
     def device_pipeline(self):
         """The fused device-resident fast path (PERFORMANCE north star;
@@ -144,12 +149,15 @@ class RettoSession:
         self, data: bytes | np.ndarray, callback: Callable[[StageResult], None]
     ) -> None:
         """The forward pass (ref: session.rs:75-106)."""
+        m = self.metrics
         image = ImageHelper(decode_image(data))
         ori_h, ori_w = image.size()
         image.resize_both(self.config.max_side_len, self.config.min_side_len)
         after_h, after_w = image.size()
 
-        boxes, scores = self._det(image, self.engine)
+        with m.measure_stage("det"):
+            boxes, scores = self._det(image, self.engine)
+        m.crops += len(boxes)
 
         # crops are taken in the RESIZED image coords (session.rs:88-92);
         # the reported boxes are rescaled to original coords after
@@ -167,12 +175,14 @@ class RettoSession:
         callback(StageResult(stage="det", result=det_result))
 
         if self.config.use_cls:
-            labels = self._cls(crops, self.engine)
+            with m.measure_stage("cls"):
+                labels = self._cls(crops, self.engine)
         else:
             labels = []
         callback(StageResult(stage="cls", result=ClsResult(labels)))
 
-        texts = self._rec(crops, self.engine)
+        with m.measure_stage("rec"):
+            texts = self._rec(crops, self.engine)
         callback(StageResult(stage="rec", result=RecResult(texts)))
 
     # ------------------------------------------------------------------ #
@@ -184,7 +194,8 @@ class RettoSession:
             logger.debug("%s result: %s", stage.stage, stage.result)
             slots[stage.stage] = stage.result
 
-        self._process_pipeline(data, cb)
+        with self.metrics.measure_image():
+            self._process_pipeline(data, cb)
         return OcrResult(
             det_result=slots["det"],
             cls_result=slots["cls"],

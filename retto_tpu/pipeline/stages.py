@@ -97,10 +97,12 @@ class ClsStage:
     """Angle classification; rotates mis-oriented crops in place
     (cls_processor.rs:127-171)."""
 
-    def __init__(self, cfg: ClsConfig, buckets: BucketConfig, mode: PipelineMode):
+    def __init__(self, cfg: ClsConfig, buckets: BucketConfig, mode: PipelineMode,
+                 metrics=None):
         self.cfg = cfg
         self.buckets = buckets
         self.mode = mode
+        self.metrics = metrics
 
     def __call__(self, crops: list[ImageHelper], engine) -> list[ClsLabel]:
         n = len(crops)
@@ -124,6 +126,8 @@ class ClsStage:
             )
             if self.mode == PipelineMode.PERFORMANCE:
                 nb = _next_bucket(len(chunk), self.buckets.cls_batch_buckets)
+                if self.metrics is not None:
+                    self.metrics.record_batch("cls_batch", len(chunk), nb)
                 if nb > len(chunk):
                     batch = np.concatenate(
                         [batch, np.zeros((nb - len(chunk), *batch.shape[1:]), np.float32)]
@@ -158,11 +162,13 @@ class RecStage:
         buckets: BucketConfig,
         mode: PipelineMode,
         chars: CharacterDict,
+        metrics=None,
     ):
         self.cfg = cfg
         self.buckets = buckets
         self.mode = mode
         self.chars = chars
+        self.metrics = metrics
 
     def __call__(self, crops: list[ImageHelper], engine) -> list[RecText]:
         n = len(crops)
@@ -206,6 +212,8 @@ class RecStage:
                     ]
                 )
                 nb = _next_bucket(len(idxs), self.buckets.rec_batch_buckets)
+                if self.metrics is not None:
+                    self.metrics.record_batch(f"rec_w{bw}", len(idxs), nb)
                 if nb > len(idxs):
                     batch = np.concatenate(
                         [batch, np.zeros((nb - len(idxs), *batch.shape[1:]), np.float32)]
