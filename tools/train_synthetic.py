@@ -140,6 +140,7 @@ def train_cls(steps=2500, batch=96, lr=1e-3, data_n=6144, seed=1):
     print(f"[cls] rendering {data_n} lines ...", flush=True)
     usable = CHARS.chars[1:-1]
     imgs = []
+    from PIL import Image as _I
     for _ in range(data_n):
         fg, bg = ((255, 255, 255), (0, 0, 0)) if rng.random() < 0.3 else ((0, 0, 0), (255, 255, 255))
         img = render_line(
@@ -147,12 +148,18 @@ def train_cls(steps=2500, batch=96, lr=1e-3, data_n=6144, seed=1):
             font=default_font(int(rng.integers(24, 44)), _fonts_cycle(rng)),
             fg=fg, bg=bg,
         )
-        # height-jitter to 48 like a warped det crop would land
+        # margin augmentation: det-box crops carry unclip margins around the
+        # text (area*1.6/perimeter expansion) -- pad 0-45% of height per side
+        h0, w0 = img.shape[:2]
+        mt = int(h0 * rng.uniform(0.0, 0.45)); mb = int(h0 * rng.uniform(0.0, 0.45))
+        ml = int(h0 * rng.uniform(0.0, 0.6)); mr = int(h0 * rng.uniform(0.0, 0.6))
+        padded = np.full((h0 + mt + mb, w0 + ml + mr, 3), bg, np.uint8)
+        padded[mt:mt + h0, ml:ml + w0] = img
+        img = padded
+        # height-resize to 48 like a warped det crop would land
         if img.shape[0] != 48:
-            from PIL import Image as _I
-            import numpy as _np
             scale = 48 / img.shape[0]
-            img = _np.asarray(_I.fromarray(img).resize(
+            img = np.asarray(_I.fromarray(img).resize(
                 (max(int(img.shape[1] * scale), 8), 48), _I.BILINEAR))
         imgs.append(img)
     data = ClsDeviceData.build(imgs, 192)
