@@ -1,0 +1,3 @@
+from .mesh import data_sharding, make_mesh, replicate, shard_batch
+
+__all__ = ["make_mesh", "shard_batch", "data_sharding", "replicate"]

@@ -37,9 +37,9 @@ class Engine(Protocol):
 
 def _shard_batch(mesh, x: jax.Array) -> jax.Array:
     """Place x with its batch dim sharded over the mesh's 'data' axis."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import shard_batch
 
-    return jax.device_put(x, NamedSharding(mesh, P("data")))
+    return shard_batch(mesh, x)
 
 
 class JaxEngine:

@@ -20,6 +20,8 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..parallel.mesh import make_mesh  # re-export (canonical home)
+
 __all__ = ["TrainState", "make_mesh", "make_train_step", "param_shardings"]
 
 
@@ -43,20 +45,6 @@ class TrainState:
 jax.tree_util.register_pytree_node(
     TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
 )
-
-
-def make_mesh(
-    n_devices: int | None = None, model_parallel: int = 1, devices=None
-) -> Mesh:
-    """('data', 'model') mesh over the first n devices."""
-    devices = list(devices if devices is not None else jax.devices())
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    n = len(devices)
-    if n % model_parallel:
-        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
-    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
-    return Mesh(arr, ("data", "model"))
 
 
 def param_shardings(params: Any, mesh: Mesh, rules: Mapping[str, P] | None = None):

@@ -66,8 +66,14 @@ def render_rec_dataset(rng, n):
             font=default_font(int(rng.integers(26, 44)), _fonts_cycle(rng)),
             fg=fg, bg=bg,
         )
-        if img.shape[1] > REC_W:  # too wide for the bucket: trim the text
-            img = img[:, :REC_W]
+        if img.shape[1] > REC_W:
+            # squash to the bucket width like resize_norm_image does at
+            # inference (resized_w = min(target, natural) -> horizontal
+            # compression, image_helper.rs:185-190)
+            from PIL import Image as _I
+            img = np.asarray(
+                _I.fromarray(img).resize((REC_W, REC_H), _I.BILINEAR)
+            )
         ids = CHARS.encode(text)[:max_len]
         imgs.append(img)
         labels.append(ids + [0] * (max_len - len(ids)))
@@ -156,11 +162,11 @@ def train_cls(steps=2500, batch=96, lr=1e-3, data_n=6144, seed=1):
         padded = np.full((h0 + mt + mb, w0 + ml + mr, 3), bg, np.uint8)
         padded[mt:mt + h0, ml:ml + w0] = img
         img = padded
-        # height-resize to 48 like a warped det crop would land
-        if img.shape[0] != 48:
-            scale = 48 / img.shape[0]
-            img = np.asarray(_I.fromarray(img).resize(
-                (max(int(img.shape[1] * scale), 8), 48), _I.BILINEAR))
+        # height-resize to 48 like a warped det crop would land; squash to
+        # the 192 canvas when wider (inference resize_norm semantics)
+        scale = 48 / img.shape[0]
+        tw = max(min(int(img.shape[1] * scale), 192), 8)
+        img = np.asarray(_I.fromarray(img).resize((tw, 48), _I.BILINEAR))
         imgs.append(img)
     data = ClsDeviceData.build(imgs, 192)
     model = build_cls("mobile", compute_dtype="bfloat16")
