@@ -37,7 +37,12 @@ _FONTS = [
 ]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
 def default_font(size: int = 32, variant: int = 0) -> ImageFont.FreeTypeFont:
+    # cached: loading the TTF per line dominates rendering time otherwise
     return ImageFont.truetype(_FONTS[variant % len(_FONTS)], size)
 
 
