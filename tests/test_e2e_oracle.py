@@ -106,13 +106,37 @@ def test_multiline_reading_order(session):
     )
 
 
-def test_device_pipeline_matches_staged(session):
+@pytest.fixture(scope="module")
+def session_nocls():
+    # path-equivalence is asserted with cls disabled so a cls judgment
+    # difference (model quality, not path correctness) cannot flip a crop
+    from retto_tpu import RettoSession, SessionConfig
+    from retto_tpu.ops.charset import CharacterDict
+
+    chars = CharacterDict(
+        (WEIGHTS / "charset.txt").read_text(encoding="utf-8").splitlines()
+    )
+    cfg = SessionConfig(use_cls=False)
+    return RettoSession(
+        cfg,
+        preset="mobile",
+        charset=chars,
+        weights={k: str(WEIGHTS / f"{k}.npz") for k in ("det", "cls", "rec")},
+    )
+
+
+def test_device_pipeline_matches_staged(session_nocls):
     # the fused fast path must produce equivalent texts to the staged path
     text = "Match Paths 99"
     img = render(text)
-    staged = session.run(img)
-    fused = session.device_pipeline().run(img)
+    staged = session_nocls.run(img)
+    fused = session_nocls.device_pipeline().run(img)
     assert len(fused.det_result) == len(staged.det_result) == 1
+    # det boxes agree within a few px
+    np.testing.assert_allclose(
+        fused.det_result[0].box.pts, staged.det_result[0].box.pts, atol=4
+    )
     s_txt = staged.rec_result[0].text
     f_txt = fused.rec_result[0].text
     assert similarity(s_txt, f_txt) >= 0.85, (s_txt, f_txt)
+    assert similarity(s_txt, text) >= 0.85, s_txt
