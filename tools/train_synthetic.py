@@ -141,11 +141,16 @@ def train_rec(steps=9000, batch=96, lr=1.2e-3, data_n=16384, seed=0):
     return float(acc)
 
 
-def train_cls(steps=5000, batch=96, lr=1e-3, data_n=10240, seed=1):
+def train_cls(steps=6000, batch=128, lr=1e-3, data_n=10240, seed=1):
     rng = np.random.default_rng(seed)
+    imgs = []
+    if (OUT / "det.npz").exists():
+        print("[cls] extracting crops via the real det pipeline ...", flush=True)
+        imgs = render_cls_pipeline_dataset(rng)
+        print(f"[cls] {len(imgs)} pipeline crops", flush=True)
+        data_n = max(data_n // 2, 2048)
     print(f"[cls] rendering {data_n} lines ...", flush=True)
     usable = CHARS.chars[1:-1]
-    imgs = []
     from PIL import Image as _I
     for _ in range(data_n):
         fg, bg = ((255, 255, 255), (0, 0, 0)) if rng.random() < 0.3 else ((0, 0, 0), (255, 255, 255))
@@ -176,7 +181,9 @@ def train_cls(steps=5000, batch=96, lr=1e-3, data_n=10240, seed=1):
         tw = max(min(int(img.shape[1] * scale), 192), 8)
         img = np.asarray(_I.fromarray(img).resize((tw, 48), _I.BILINEAR))
         imgs.append(img)
+    imgs = [imgs[i] for i in rng.permutation(len(imgs))]
     data = ClsDeviceData.build(imgs, 192)
+    data_n = len(imgs)
     # scale 0.5 (vs the reference's 0.35): blurred-crop orientation needs
     # the extra capacity; still tiny (<1M params)
     model = build_cls("mobile", compute_dtype="bfloat16", scale=0.5)
@@ -222,6 +229,53 @@ def train_cls(steps=5000, batch=96, lr=1e-3, data_n=10240, seed=1):
     print(f"[cls] accuracy: {acc:.3f}")
     save_params(OUT / "cls.npz", {"params": state.params, "batch_stats": state.batch_stats})
     return acc
+
+
+def render_cls_pipeline_dataset(rng, n_pages=1600):
+    """Cls training crops from the REAL det pipeline: render pages at varied
+    sizes, run the trained det stage, warp out the crops exactly like the
+    session does (unclip margins, bicubic warp, upscale blur included) —
+    the distribution cls sees at inference, by construction."""
+    from PIL import Image as _I
+
+    from retto_tpu.config import SessionConfig
+    from retto_tpu.geometry import PointBox
+    from retto_tpu.image.io import ImageHelper
+
+    cfg = SessionConfig()
+    # build only the det stage (no cls/rec weights needed)
+    from retto_tpu.models import build_det
+    from retto_tpu.pipeline.engine import JaxEngine
+    from retto_tpu.pipeline.stages import DetStage
+    from retto_tpu.weights import load_params
+
+    det_m = build_det("mobile", compute_dtype="bfloat16")
+    eng = JaxEngine(det_model=det_m, det_params=load_params(OUT / "det.npz"))
+    stage = DetStage(cfg.det, cfg.buckets)
+
+    crops = []
+    for i in range(n_pages):
+        size_h = int(rng.integers(200, 720))
+        size_w = int(rng.integers(260, 760))
+        lh_lo = int(rng.integers(18, 40))
+        img, _, _ = render_page(
+            rng, CHARS, size_h, size_w, max_lines=5,
+            lh_range=(lh_lo, min(lh_lo + 60, 110)),
+        )
+        ih = ImageHelper(img)
+        ih.resize_both(cfg.max_side_len, cfg.min_side_len)
+        boxes, _ = stage(ih, eng)
+        for b in boxes:
+            crop = ih.get_crop_img(PointBox(b))
+            ch, cw = crop.shape[:2]
+            if ch < 8 or cw < 8:
+                continue
+            tw = max(min(int(cw * 48 / ch), 192), 8)
+            crops.append(np.asarray(
+                _I.fromarray(crop).resize((tw, 48), _I.BILINEAR)))
+        if len(crops) % 500 < 5:
+            print(f"[cls-pipe] {i+1} pages -> {len(crops)} crops", flush=True)
+    return crops
 
 
 def render_det_dataset(rng, n):
@@ -308,7 +362,7 @@ def main():
     if args.target in ("rec", "all"):
         train_rec(steps=int(9000 * s) or None)
     if args.target in ("cls", "all"):
-        train_cls(steps=int(5000 * s))
+        train_cls(steps=int(6000 * s))
     if args.target in ("det", "all"):
         train_det(steps=int(6000 * s))
 
