@@ -39,6 +39,7 @@ from retto_tpu.train.data import (
     gather_rec_batch,
 )
 from retto_tpu.train.losses import cls_loss, ctc_loss, db_loss
+from retto_tpu.image.io import _pil_resize
 from retto_tpu.train.synth import default_font, render_line, render_page, random_text
 from retto_tpu.train.trainer import TrainState, init_train_state
 from retto_tpu.weights import save_params
@@ -70,10 +71,7 @@ def render_rec_dataset(rng, n):
             # squash to the bucket width like resize_norm_image does at
             # inference (resized_w = min(target, natural) -> horizontal
             # compression, image_helper.rs:185-190)
-            from PIL import Image as _I
-            img = np.asarray(
-                _I.fromarray(img).resize((REC_W, REC_H), _I.BILINEAR)
-            )
+            img = _pil_resize(img, REC_W, REC_H)
         ids = CHARS.encode(text)[:max_len]
         imgs.append(img)
         labels.append(ids + [0] * (max_len - len(ids)))
@@ -86,6 +84,15 @@ def train_rec(steps=9000, batch=96, lr=1.2e-3, data_n=16384, seed=0):
     rng = np.random.default_rng(seed)
     print(f"[rec] rendering {data_n} lines ...", flush=True)
     imgs, labels, lengths, _ = render_rec_dataset(rng, data_n)
+    if (OUT / "det.npz").exists():
+        print("[rec] extracting pipeline crops ...", flush=True)
+        pi, pl, pln, _ = render_rec_pipeline_dataset(rng)
+        if len(pi):
+            imgs = imgs + pi
+            labels = np.concatenate([labels, pl])
+            lengths = np.concatenate([lengths, pln])
+        print(f"[rec] +{len(pi)} pipeline crops = {len(imgs)}", flush=True)
+    data_n = len(imgs)
     data = RecDeviceData.build(imgs, labels, lengths, REC_W)
 
     model = build_rec("mobile", num_classes=CHARS.num_classes, compute_dtype="bfloat16")
@@ -172,14 +179,14 @@ def train_cls(steps=6000, batch=128, lr=1e-3, data_n=10240, seed=1):
         # by up-then-down resampling before the final squash
         if rng.random() < 0.7:
             up = rng.uniform(1.5, 4.0)
-            hu = max(int(img.shape[0] * up), 8)
-            wu = max(int(img.shape[1] * up), 8)
-            img = np.asarray(_I.fromarray(img).resize((wu, hu), _I.BILINEAR))
+            img = _pil_resize(img, max(int(img.shape[1] * up), 8),
+                              max(int(img.shape[0] * up), 8))
         # height-resize to 48 like a warped det crop would land; squash to
-        # the 192 canvas when wider (inference resize_norm semantics)
+        # the 192 canvas when wider — via the INFERENCE resize function
+        # (BOX downscale), resampling-filter parity matters
         scale = 48 / img.shape[0]
         tw = max(min(int(img.shape[1] * scale), 192), 8)
-        img = np.asarray(_I.fromarray(img).resize((tw, 48), _I.BILINEAR))
+        img = _pil_resize(img, tw, 48)
         imgs.append(img)
     imgs = [imgs[i] for i in rng.permutation(len(imgs))]
     data = ClsDeviceData.build(imgs, 192)
@@ -271,11 +278,72 @@ def render_cls_pipeline_dataset(rng, n_pages=1600):
             if ch < 8 or cw < 8:
                 continue
             tw = max(min(int(cw * 48 / ch), 192), 8)
-            crops.append(np.asarray(
-                _I.fromarray(crop).resize((tw, 48), _I.BILINEAR)))
+            crops.append(_pil_resize(crop, tw, 48))
         if len(crops) % 500 < 5:
             print(f"[cls-pipe] {i+1} pages -> {len(crops)} crops", flush=True)
     return crops
+
+
+def render_rec_pipeline_dataset(rng, n_pages=1200, max_len=16):
+    """Rec training crops from the REAL det pipeline: det boxes are matched
+    to ground-truth line boxes by IoU-of-centers so each crop carries its
+    true text — rec trains on exactly the crops (margins, warp resampling,
+    blur) it will see at inference."""
+    from retto_tpu.config import SessionConfig
+    from retto_tpu.geometry import PointBox
+    from retto_tpu.image.io import ImageHelper
+    from retto_tpu.models import build_det
+    from retto_tpu.pipeline.engine import JaxEngine
+    from retto_tpu.pipeline.stages import DetStage
+    from retto_tpu.weights import load_params
+
+    cfg = SessionConfig()
+    det_m = build_det("mobile", compute_dtype="bfloat16")
+    eng = JaxEngine(det_model=det_m, det_params=load_params(OUT / "det.npz"))
+    stage = DetStage(cfg.det, cfg.buckets)
+
+    imgs, labels, lengths, texts = [], [], [], []
+    for i in range(n_pages):
+        size_h = int(rng.integers(220, 720))
+        size_w = int(rng.integers(280, 760))
+        lh_lo = int(rng.integers(18, 40))
+        img, gt_boxes, gt_texts = render_page(
+            rng, CHARS, size_h, size_w, max_lines=5,
+            lh_range=(lh_lo, min(lh_lo + 60, 110)),
+        )
+        if not len(gt_boxes):
+            continue
+        ih = ImageHelper(img)
+        ih.resize_both(cfg.max_side_len, cfg.min_side_len)
+        ah, aw = ih.size()
+        sy, sx = ah / img.shape[0], aw / img.shape[1]
+        boxes, _ = stage(ih, eng)
+        centers_gt = np.stack(
+            [(gt_boxes[:, 0] + gt_boxes[:, 2]) / 2 * sx,
+             (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2 * sy], axis=1)
+        for b in boxes:
+            c = (b[0] + b[2]) / 2.0
+            d = np.linalg.norm(centers_gt - c[None], axis=1)
+            j = int(d.argmin())
+            # reject matches whose centers are further than half the GT
+            # line height (merged/split detections would mislabel)
+            gt_h = (gt_boxes[j, 3] - gt_boxes[j, 1]) * sy
+            if d[j] > gt_h:
+                continue
+            text = gt_texts[j]
+            crop = ih.get_crop_img(PointBox(b))
+            ch, cw = crop.shape[:2]
+            if ch < 8 or cw < 8:
+                continue
+            tw = max(min(int(cw * REC_H / ch), REC_W), 8)
+            imgs.append(_pil_resize(crop, tw, REC_H))
+            ids = CHARS.encode(text)[:max_len]
+            labels.append(ids + [0] * (max_len - len(ids)))
+            lengths.append(len(ids))
+            texts.append(text)
+        if (i + 1) % 200 == 0:
+            print(f"[rec-pipe] {i+1} pages -> {len(imgs)} crops", flush=True)
+    return imgs, np.asarray(labels), np.asarray(lengths), texts
 
 
 def render_det_dataset(rng, n):
