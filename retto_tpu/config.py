@@ -20,7 +20,7 @@ import dataclasses
 import enum
 import json
 from dataclasses import dataclass, field
-from typing import Any, Sequence
+from typing import Any
 
 
 class LimitType(str, enum.Enum):

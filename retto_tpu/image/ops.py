@@ -13,8 +13,6 @@ at the model boundary — models consume NHWC internally.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

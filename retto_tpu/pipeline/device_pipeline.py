@@ -32,14 +32,13 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import PipelineMode, SessionConfig
+from ..config import SessionConfig
 from ..geometry import PointBox, scale_and_clip
 from ..image.io import ImageHelper, _pil_resize, decode_image, perspective_coeffs
 from .stages import _bucket_up, _next_bucket, det_input_dims

@@ -9,12 +9,11 @@ per-image error isolation, and engine/device configuration.
 from __future__ import annotations
 
 import logging
-from pathlib import Path
 from typing import Any, Callable, Iterable, Sequence
 
 import numpy as np
 
-from ..config import PipelineMode, SessionConfig
+from ..config import SessionConfig
 from ..errors import RettoError
 from ..geometry import PointBox, scale_and_clip
 from ..image.io import ImageHelper, decode_image

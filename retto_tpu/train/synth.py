@@ -11,7 +11,6 @@ with DB ground-truth maps (det).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 from typing import Sequence
 
 import numpy as np

@@ -15,8 +15,7 @@ stay NumPy, so XLA sees only static shapes.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

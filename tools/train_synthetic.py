@@ -261,9 +261,11 @@ def render_cls_pipeline_dataset(rng, n_pages=1600):
     stage = DetStage(cfg.det, cfg.buckets)
 
     crops = []
+    # page sizes from a small fixed set: each maps to one det bucket
+    # shape so the jit cache warms after a handful of pages
+    _sizes = [(256, 320), (384, 512), (512, 448), (640, 704), (288, 704)]
     for i in range(n_pages):
-        size_h = int(rng.integers(200, 720))
-        size_w = int(rng.integers(260, 760))
+        size_h, size_w = _sizes[int(rng.integers(0, len(_sizes)))]
         lh_lo = int(rng.integers(18, 40))
         img, _, _ = render_page(
             rng, CHARS, size_h, size_w, max_lines=5,
@@ -303,9 +305,11 @@ def render_rec_pipeline_dataset(rng, n_pages=1200, max_len=16):
     stage = DetStage(cfg.det, cfg.buckets)
 
     imgs, labels, lengths, texts = [], [], [], []
+    # page sizes from a small fixed set: each maps to one det bucket
+    # shape so the jit cache warms after a handful of pages
+    _sizes = [(256, 320), (384, 512), (512, 448), (640, 704), (288, 704)]
     for i in range(n_pages):
-        size_h = int(rng.integers(220, 720))
-        size_w = int(rng.integers(280, 760))
+        size_h, size_w = _sizes[int(rng.integers(0, len(_sizes)))]
         lh_lo = int(rng.integers(18, 40))
         img, gt_boxes, gt_texts = render_page(
             rng, CHARS, size_h, size_w, max_lines=5,
