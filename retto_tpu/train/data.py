@@ -88,38 +88,43 @@ def gather_rec_batch(data: RecDeviceData, idx: jax.Array):
 @_register_pytree
 @dataclass
 class ClsDeviceData:
-    """lines uint8 [M, H, W, 3] (unrotated), widths [M]."""
+    """lines uint8 [M, 2, H, W, 3] — BOTH orientations, each resized on the
+    host through the inference path, widths [M].
+
+    Why both are stored: rot180(resize(x)) != resize(rot180(x)) for
+    non-integer scale factors (the BOX filter phase is not symmetric under
+    rotation), so a device-side flip of the resized upright crop produces
+    tensors that can never occur at inference — training on them put the
+    classifier ~25 points below its train-eval accuracy on real crops."""
 
     lines: jax.Array
     widths: jax.Array
 
     @classmethod
     def build(cls, imgs: list[np.ndarray], w_max: int):
-        h = imgs[0].shape[0]
-        buf = np.zeros((len(imgs), h, w_max, 3), np.uint8)
+        """imgs: RAW crops (any height).  Both orientations are resized
+        host-side exactly like resize_norm_image would."""
+        from ..image.io import _pil_resize
+
+        h_out = 48
+        buf = np.zeros((len(imgs), 2, h_out, w_max, 3), np.uint8)
         widths = np.zeros((len(imgs),), np.int32)
         for i, im in enumerate(imgs):
-            w = min(im.shape[1], w_max)
-            buf[i, :, :w] = im[:, :w]
-            widths[i] = w
+            tw = max(min(int(im.shape[1] * h_out / im.shape[0]), w_max), 8)
+            buf[i, 0, :, :tw] = _pil_resize(im, tw, h_out)
+            buf[i, 1, :, :tw] = _pil_resize(
+                np.ascontiguousarray(im[::-1, ::-1]), tw, h_out
+            )
+            widths[i] = tw
         return cls(jnp.asarray(buf), jnp.asarray(widths))
 
 
 def gather_cls_batch(data: ClsDeviceData, idx: jax.Array, rot: jax.Array):
-    """rot [B] in {0,1}: 1 = rotate 180 (the positive cls class).  Rotation
-    flips the CONTENT region then re-packs left (mirroring how a rotated
-    crop is re-normalized at inference: padding stays on the right)."""
-    imgs = data.lines[idx].astype(jnp.float32)
-    w = data.lines.shape[2]
+    """rot [B] in {0,1}: 1 = the stored 180-rotated orientation (the
+    positive cls class)."""
+    imgs = data.lines[idx, rot].astype(jnp.float32)
+    w = data.lines.shape[3]
     widths = data.widths[idx]
-    # flip then roll so content starts at column 0 again
-    flipped = imgs[:, ::-1, ::-1, :]
-
-    def roll_row(img, wd):
-        return jnp.roll(img, wd - w, axis=1)
-
-    flipped = jax.vmap(roll_row)(flipped, widths)
-    imgs = jnp.where(rot[:, None, None, None] > 0, flipped, imgs)
     x = (imgs / 255.0 - 0.5) / 0.5
     col = jnp.arange(w)[None, None, :, None]
     x = jnp.where(col < widths[:, None, None, None], x, 0.0)

@@ -181,13 +181,7 @@ def train_cls(steps=6000, batch=128, lr=1e-3, data_n=10240, seed=1):
             up = rng.uniform(1.5, 4.0)
             img = _pil_resize(img, max(int(img.shape[1] * up), 8),
                               max(int(img.shape[0] * up), 8))
-        # height-resize to 48 like a warped det crop would land; squash to
-        # the 192 canvas when wider — via the INFERENCE resize function
-        # (BOX downscale), resampling-filter parity matters
-        scale = 48 / img.shape[0]
-        tw = max(min(int(img.shape[1] * scale), 192), 8)
-        img = _pil_resize(img, tw, 48)
-        imgs.append(img)
+        imgs.append(img)  # raw; ClsDeviceData resizes both orientations
     imgs = [imgs[i] for i in rng.permutation(len(imgs))]
     data = ClsDeviceData.build(imgs, 192)
     data_n = len(imgs)
@@ -279,8 +273,7 @@ def render_cls_pipeline_dataset(rng, n_pages=1600):
             ch, cw = crop.shape[:2]
             if ch < 8 or cw < 8:
                 continue
-            tw = max(min(int(cw * 48 / ch), 192), 8)
-            crops.append(_pil_resize(crop, tw, 48))
+            crops.append(crop)  # raw; ClsDeviceData resizes both orientations
         if len(crops) % 500 < 5:
             print(f"[cls-pipe] {i+1} pages -> {len(crops)} crops", flush=True)
     return crops
