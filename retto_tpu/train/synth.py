@@ -20,6 +20,7 @@ from ..ops.charset import CharacterDict
 
 __all__ = [
     "default_font",
+    "natural_text",
     "render_line",
     "render_page",
     "make_rec_batch",
@@ -93,6 +94,42 @@ def random_text(
         last = p
     parts.append(body[last:])
     return " ".join(parts)
+
+
+_NATURAL_WORDS = (
+    "the and for are but not you all can had her was one our out day get has "
+    "him his how man new now old see two way who boy did its let put say she "
+    "too use that with have this will your from they know want been good much "
+    "some time very when come here just like long make many more only over "
+    "such take than them well were what work year back call came each even "
+    "find give hand high keep kind last late left life live look made most "
+    "move must name need next open part play right said same seem show side "
+    "tell turn used ways week went word world print quick brown jumps lazy "
+    "dog happy hello total thank order page text line item price"
+).split()
+
+
+def natural_text(
+    rng: np.random.Generator, max_words: int = 3, digits_prob: float = 0.3
+) -> str:
+    """Natural-language-like text (real words, occasional numbers/case) —
+    orientation classification is only learnable on text with natural
+    statistics; uniformly random ASCII maps onto itself under 180-degree
+    rotation (d<->p, u<->n, b<->q, 6<->9)."""
+    n = int(rng.integers(1, max_words + 1))
+    words = []
+    for _ in range(n):
+        if rng.random() < digits_prob:
+            words.append(str(rng.integers(0, 10000)))
+        else:
+            w = _NATURAL_WORDS[int(rng.integers(0, len(_NATURAL_WORDS)))]
+            r = rng.random()
+            if r < 0.15:
+                w = w.capitalize()
+            elif r < 0.22:
+                w = w.upper()
+            words.append(w)
+    return " ".join(words)
 
 
 def make_rec_batch(
@@ -202,6 +239,7 @@ def render_page(
     w: int = 320,
     max_lines: int = 4,
     lh_range: tuple[int, int] = (20, 36),
+    text_fn=None,
 ):
     """A page of text lines.  Returns (img [h,w,3] u8, boxes [N,4] xyxy,
     texts)."""
@@ -212,7 +250,7 @@ def render_page(
     y = int(rng.integers(4, 20))
     for _ in range(n_lines):
         lh = int(rng.integers(lh_range[0], lh_range[1]))
-        text = random_text(rng, usable, 10)
+        text = text_fn(rng) if text_fn else random_text(rng, usable, 10)
         line = render_line(text, lh)
         lw = min(line.shape[1], w - 8)
         x = int(rng.integers(2, max(3, w - lw - 2)))

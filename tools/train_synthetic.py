@@ -40,7 +40,7 @@ from retto_tpu.train.data import (
 )
 from retto_tpu.train.losses import cls_loss, ctc_loss, db_loss
 from retto_tpu.image.io import _pil_resize
-from retto_tpu.train.synth import default_font, render_line, render_page, random_text
+from retto_tpu.train.synth import default_font, natural_text, render_line, render_page, random_text
 from retto_tpu.train.trainer import TrainState, init_train_state
 from retto_tpu.weights import save_params
 
@@ -60,7 +60,10 @@ def render_rec_dataset(rng, n):
     max_len = 16
     usable = CHARS.chars[1:-1]
     for i in range(n):
-        text = random_text(rng, usable, max_len)
+        # 40% natural-language-like text (the deployment distribution),
+        # 60% uniform random (full charset coverage)
+        text = natural_text(rng) if rng.random() < 0.4 else random_text(rng, usable, max_len)
+        text = text[:max_len]
         fg, bg = ((255, 255, 255), (0, 0, 0)) if rng.random() < 0.3 else ((0, 0, 0), (255, 255, 255))
         img = render_line(
             text, REC_H,
@@ -162,7 +165,7 @@ def train_cls(steps=6000, batch=128, lr=1e-3, data_n=10240, seed=1):
     for _ in range(data_n):
         fg, bg = ((255, 255, 255), (0, 0, 0)) if rng.random() < 0.3 else ((0, 0, 0), (255, 255, 255))
         img = render_line(
-            random_text(rng, usable, 12), int(rng.integers(32, 49)),
+            natural_text(rng), int(rng.integers(32, 49)),
             font=default_font(int(rng.integers(24, 44)), _fonts_cycle(rng)),
             fg=fg, bg=bg,
         )
@@ -264,6 +267,7 @@ def render_cls_pipeline_dataset(rng, n_pages=1600):
         img, _, _ = render_page(
             rng, CHARS, size_h, size_w, max_lines=5,
             lh_range=(lh_lo, min(lh_lo + 60, 110)),
+            text_fn=natural_text,
         )
         ih = ImageHelper(img)
         ih.resize_both(cfg.max_side_len, cfg.min_side_len)
@@ -307,6 +311,7 @@ def render_rec_pipeline_dataset(rng, n_pages=1200, max_len=16):
         img, gt_boxes, gt_texts = render_page(
             rng, CHARS, size_h, size_w, max_lines=5,
             lh_range=(lh_lo, min(lh_lo + 60, 110)),
+            text_fn=(natural_text if rng.random() < 0.5 else None),
         )
         if not len(gt_boxes):
             continue
