@@ -101,28 +101,32 @@ class DevicePipeline:
         self._params = params
         det_cfg = config.det
 
-        def det_fwd(params, img_u8, valid_hw):
-            x = img_u8.astype(jnp.float32)[..., ::-1]  # BGR (det_processor.rs:268)
+        def det_fwd_batch(params, imgs_u8, valid_hw):
+            """imgs_u8 [B, H, W, 3]; valid_hw [B, 2].  One forward for every
+            same-bucket image in the call (dense MXU batch instead of B
+            batch-1 convolutions)."""
+            x = imgs_u8.astype(jnp.float32)[..., ::-1]  # BGR (det_processor.rs:268)
             mean = jnp.asarray(det_cfg.mean, jnp.float32)
             std = jnp.asarray(det_cfg.std, jnp.float32)
             x = (x * det_cfg.scale - mean) / std
             # zero out bucket padding -> normalized black
-            h, w = img_u8.shape[0], img_u8.shape[1]
-            row = jnp.arange(h)[:, None, None]
-            col = jnp.arange(w)[None, :, None]
-            inb = (row < valid_hw[0]) & (col < valid_hw[1])
-            x = jnp.where(inb, x, -1.0)
-            x = jnp.transpose(x, (2, 0, 1))[None]
-            pred = det_model.apply(params, x)
-            packed = binarize_dilate_packed(
-                pred,
-                det_cfg.thresh,
-                det_cfg.use_dilation and det_cfg.dilation_kernel is not None,
+            h, w = imgs_u8.shape[1], imgs_u8.shape[2]
+            row = jnp.arange(h)[None, :, None, None]
+            col = jnp.arange(w)[None, None, :, None]
+            inb = (row < valid_hw[:, 0, None, None, None]) & (
+                col < valid_hw[:, 1, None, None, None]
             )
-            prob8 = jnp.round(pred[0, 0] * 255.0).astype(jnp.uint8)
+            x = jnp.where(inb, x, -1.0)
+            x = jnp.transpose(x, (0, 3, 1, 2))
+            pred = det_model.apply(params, x)
+            dilate = det_cfg.use_dilation and det_cfg.dilation_kernel is not None
+            packed = jax.vmap(
+                lambda p: binarize_dilate_packed(p, det_cfg.thresh, dilate)
+            )(pred)
+            prob8 = jnp.round(pred[:, 0] * 255.0).astype(jnp.uint8)
             return packed, prob8
 
-        self._det_fwd = jax.jit(det_fwd)
+        self._det_fwd_batch = jax.jit(det_fwd_batch)
 
         def warp_norm(img_u8, homogs, widths, valid_hw, out_h, out_w):
             crops = warp_crops(
@@ -156,7 +160,9 @@ class DevicePipeline:
         cfg = self.cfg
         staged: list[_Staged] = []
 
-        # ---- phase A: host resize chain + upload + dispatch det -------- #
+        # ---- phase A: host resize chain, group by det bucket, batched
+        # upload + ONE det forward per bucket group ---------------------- #
+        groups: dict[tuple[int, int], list[tuple[int, np.ndarray]]] = {}
         for data in inputs:
             img = ImageHelper(decode_image(data))
             ori_h, ori_w = img.size()
@@ -173,19 +179,47 @@ class DevicePipeline:
             bw = _bucket_up(rw, cfg.buckets.det_pad_to, cfg.buckets.det_max_side)
             padded = np.zeros((bh, bw, 3), np.uint8)
             padded[:rh, :rw] = det_img
-            dev_img = jnp.asarray(padded)
-            valid = jnp.asarray([rh, rw], jnp.int32)
-            packed, prob8 = self._det_fwd(self._params["det"], dev_img, valid)
-            staged.append(
-                _Staged(ah, aw, ori_h, ori_w, rh, rw, dev_img, packed, prob8)
+            st = _Staged(ah, aw, ori_h, ori_w, rh, rw, None, None, None)
+            staged.append(st)
+            groups.setdefault((bh, bw), []).append((len(staged) - 1, padded))
+        for (bh, bw), items in groups.items():
+            idxs = [i for i, _ in items]
+            batch = np.stack([p for _, p in items])
+            valids = np.asarray(
+                [[staged[i].rh, staged[i].rw] for i in idxs], np.int32
             )
+            nb = _next_bucket(len(idxs), (1, 2, 4, 8, 16))
+            if nb > len(idxs):
+                pad = nb - len(idxs)
+                batch = np.concatenate([batch, np.zeros((pad, bh, bw, 3), np.uint8)])
+                valids = np.concatenate([valids, np.ones((pad, 2), np.int32)])
+            dev_batch = jnp.asarray(batch)
+            packed_b, prob8_b = self._det_fwd_batch(
+                self._params["det"], dev_batch, jnp.asarray(valids)
+            )
+            for k, i in enumerate(idxs):
+                staged[i].dev_img = dev_batch[k]
+                staged[i].packed = packed_b[k]
+                staged[i].prob8 = prob8_b[k]
 
-        # ---- phase B: fetch det outputs, host postprocess, geometry ---- #
-        all_crops: list[_CropTask] = []
-        for i, st in enumerate(staged):
+        # ---- phase B: fetch det outputs, host postprocess (thread pool —
+        # the native C++ call releases the GIL), geometry ---------------- #
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _post(st: _Staged):
             mask = unpack_mask(st.packed, st.dev_img.shape[1])[: st.rh, : st.rw]
             pred = np.asarray(st.prob8)[: st.rh, : st.rw].astype(np.float32) / 255.0
-            boxes, scores = det_postprocess(pred, mask, cfg.det, st.ah, st.aw)
+            return det_postprocess(pred, mask, cfg.det, st.ah, st.aw)
+
+        if len(staged) > 1:
+            with ThreadPoolExecutor(max_workers=min(8, len(staged))) as pool:
+                results = list(pool.map(_post, staged))
+        else:
+            results = [_post(st) for st in staged]
+
+        all_crops: list[_CropTask] = []
+        for i, st in enumerate(staged):
+            boxes, scores = results[i]
             st.boxes, st.scores = boxes, scores
             sx, sy = st.rw / st.aw, st.rh / st.ah
             for j, b in enumerate(boxes):

@@ -119,13 +119,19 @@ class ClsDeviceData:
         return cls(jnp.asarray(buf), jnp.asarray(widths))
 
 
-def gather_cls_batch(data: ClsDeviceData, idx: jax.Array, rot: jax.Array):
+def gather_cls_batch(data: ClsDeviceData, idx: jax.Array, rot: jax.Array,
+                     gain: jax.Array | None = None,
+                     bias: jax.Array | None = None):
     """rot [B] in {0,1}: 1 = the stored 180-rotated orientation (the
-    positive cls class)."""
+    positive cls class).  Optional per-sample photometric jitter
+    (gain/bias, applied in normalized space) regularizes training."""
     imgs = data.lines[idx, rot].astype(jnp.float32)
     w = data.lines.shape[3]
     widths = data.widths[idx]
     x = (imgs / 255.0 - 0.5) / 0.5
+    if gain is not None:
+        x = jnp.clip(x * gain[:, None, None, None] + bias[:, None, None, None],
+                     -1.0, 1.0)
     col = jnp.arange(w)[None, None, :, None]
     x = jnp.where(col < widths[:, None, None, None], x, 0.0)
     return jnp.transpose(x, (0, 3, 1, 2)), rot

@@ -151,14 +151,13 @@ def train_rec(steps=9000, batch=96, lr=1.2e-3, data_n=16384, seed=0):
     return float(acc)
 
 
-def train_cls(steps=6000, batch=128, lr=1e-3, data_n=10240, seed=1):
+def train_cls(steps=9000, batch=128, lr=1e-3, data_n=24576, seed=1):
     rng = np.random.default_rng(seed)
     imgs = []
     if (OUT / "det.npz").exists():
         print("[cls] extracting crops via the real det pipeline ...", flush=True)
         imgs = render_cls_pipeline_dataset(rng)
         print(f"[cls] {len(imgs)} pipeline crops", flush=True)
-        data_n = max(data_n // 2, 2048)
     print(f"[cls] rendering {data_n} lines ...", flush=True)
     usable = CHARS.chars[1:-1]
     from PIL import Image as _I
@@ -199,15 +198,21 @@ def train_cls(steps=6000, batch=128, lr=1e-3, data_n=10240, seed=1):
     state = init_train_state(model, tx, np.zeros((2, 3, 48, 192), np.float32))
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, data, idx, rot):
-        x, lab = gather_cls_batch(data, idx, rot)
+    def step(state: TrainState, data, idx, rot, gain, bias):
+        x, lab = gather_cls_batch(data, idx, rot, gain, bias)
 
         def compute(params):
             out, upd = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x, train=True, mutable=["batch_stats"],
             )
-            return cls_loss(out, lab), upd["batch_stats"]
+            # label smoothing 0.05: calibration (the pipeline gates the
+            # rotation on a confidence threshold)
+            eps = 1e-8
+            logp = jnp.log(out + eps)
+            sm = 0.05
+            onehot = jax.nn.one_hot(lab, 2) * (1 - sm) + sm / 2
+            return -(onehot * logp).sum(-1).mean(), upd["batch_stats"]
 
         (loss, stats), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
         updates, opt = tx.update(grads, state.opt_state, state.params)
@@ -218,7 +223,9 @@ def train_cls(steps=6000, batch=128, lr=1e-3, data_n=10240, seed=1):
     for i in range(steps):
         idx = jnp.asarray(rng.integers(0, data_n, batch))
         rot = jnp.asarray(rng.integers(0, 2, batch))
-        state, loss = step(state, data, idx, rot)
+        gain = jnp.asarray(rng.uniform(0.75, 1.25, batch).astype(np.float32))
+        bias = jnp.asarray(rng.uniform(-0.15, 0.15, batch).astype(np.float32))
+        state, loss = step(state, data, idx, rot, gain, bias)
         if i % 200 == 0 or i == steps - 1:
             print(f"[cls] step {i}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
 
@@ -432,7 +439,7 @@ def main():
     if args.target in ("rec", "all"):
         train_rec(steps=int(9000 * s) or None)
     if args.target in ("cls", "all"):
-        train_cls(steps=int(6000 * s))
+        train_cls(steps=int(9000 * s))
     if args.target in ("det", "all"):
         train_det(steps=int(6000 * s))
 
