@@ -94,8 +94,10 @@ def bench_full_pipeline(weights_dir: Path) -> dict:
                     lh_range=(24, 48))[0]
         for _ in range(16)
     ]
-    # warmup (compiles all buckets touched)
-    dp.run_many(pages[:4])
+    # warmup with the FULL page set: the timed runs must hit the same
+    # (det bucket x batch, cls/rec batch, rec width) jit cache entries
+    dp.run_many(pages)
+    dp.run_many(pages)
     iters = 3
     t0 = time.perf_counter()
     total = 0

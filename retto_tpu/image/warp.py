@@ -23,7 +23,12 @@ import numpy as np
 from ..geometry import PointBox
 from .io import perspective_coeffs
 
-__all__ = ["crop_homographies", "warp_crops", "crop_output_size"]
+__all__ = [
+    "crop_homographies",
+    "warp_crops",
+    "warp_crops_multi",
+    "crop_output_size",
+]
 
 
 def crop_output_size(box: PointBox) -> tuple[int, int, bool]:
@@ -88,7 +93,37 @@ def warp_crops(
         h, w = img.shape[0], img.shape[1]
     else:
         h, w = valid_hw[0], valid_hw[1]
+    return _warp_impl(img, homographies, out_h, out_w, fill, h, w)
 
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "fill"))
+def warp_crops_multi(
+    images: jax.Array,
+    img_idx: jax.Array,
+    homographies: jax.Array,
+    valid_hw: jax.Array,
+    out_h: int,
+    out_w: int,
+    fill: float = 255.0,
+) -> jax.Array:
+    """Cross-image batch warp: crop n samples ``images[img_idx[n]]``.
+
+    images: [B, H, W, 3] (a det bucket group's stacked tensor);
+    img_idx: [N] int32; homographies: [N, 3, 3]; valid_hw: [B, 2].
+    One kernel for every crop of every image in the group — collapses the
+    per-image dispatch/round-trip pattern on the tunneled TPU."""
+    imgs = images.astype(jnp.float32)
+
+    def one(idx, hmg):
+        vh = valid_hw[idx]
+        return _warp_impl(
+            imgs[idx], hmg[None], out_h, out_w, fill, vh[0], vh[1]
+        )[0]
+
+    return jax.vmap(one)(img_idx, homographies)
+
+
+def _warp_impl(img, homographies, out_h: int, out_w: int, fill: float, h, w):
     ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)  # [out_h, out_w]

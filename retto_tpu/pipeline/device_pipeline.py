@@ -42,7 +42,7 @@ from ..config import SessionConfig
 from ..geometry import PointBox, scale_and_clip
 from ..image.io import ImageHelper, _pil_resize, decode_image, perspective_coeffs
 from .stages import _bucket_up, _next_bucket, det_input_dims
-from ..image.warp import warp_crops
+from ..image.warp import warp_crops_multi
 from ..ops.charset import CharacterDict
 from ..ops.ctc import ctc_greedy_decode
 from ..ops.db_post import binarize_dilate_packed, unpack_mask
@@ -78,9 +78,8 @@ class _Staged:
     ori_w: int
     rh: int
     rw: int
-    dev_img: jax.Array
-    packed: jax.Array
-    prob8: jax.Array
+    group: tuple[int, int] | None = None  # det bucket group key
+    row: int = 0  # row within the group's stacked device tensor
     boxes: np.ndarray | None = None
     scores: np.ndarray | None = None
     crops: list[_CropTask] = field(default_factory=list)
@@ -98,7 +97,8 @@ class DevicePipeline:
     ):
         self.cfg = config
         self.chars = chars
-        self._params = params
+        # device-resident params (host-numpy params re-upload per call)
+        self._params = jax.device_put(params)
         det_cfg = config.det
 
         def det_fwd_batch(params, imgs_u8, valid_hw):
@@ -128,25 +128,25 @@ class DevicePipeline:
 
         self._det_fwd_batch = jax.jit(det_fwd_batch)
 
-        def warp_norm(img_u8, homogs, widths, valid_hw, out_h, out_w):
-            crops = warp_crops(
-                img_u8, homogs, out_h, out_w, fill=255.0, valid_hw=valid_hw
+        def warp_norm(imgs_u8, rows, homogs, widths, valid_hw, out_h, out_w):
+            crops = warp_crops_multi(
+                imgs_u8, rows, homogs, valid_hw, out_h, out_w, fill=255.0
             )
             x = (crops / 255.0 - 0.5) / 0.5
             col = jnp.arange(out_w)[None, None, :, None]
             x = jnp.where(col < widths[:, None, None, None], x, 0.0)
             return jnp.transpose(x, (0, 3, 1, 2))
 
-        def cls_fwd(params, img_u8, homogs, widths, valid_hw):
+        def cls_fwd(params, imgs_u8, rows, homogs, widths, valid_hw):
             _, h, w = config.cls.image_shape
-            x = warp_norm(img_u8, homogs, widths, valid_hw, h, w)
+            x = warp_norm(imgs_u8, rows, homogs, widths, valid_hw, h, w)
             return cls_model.apply(params, x)
 
         self._cls_fwd = jax.jit(cls_fwd)
 
-        def rec_fwd(params, img_u8, homogs, widths, valid_hw, out_w):
+        def rec_fwd(params, imgs_u8, rows, homogs, widths, valid_hw, out_w):
             _, h, _ = config.rec.image_shape
-            x = warp_norm(img_u8, homogs, widths, valid_hw, h, out_w)
+            x = warp_norm(imgs_u8, rows, homogs, widths, valid_hw, h, out_w)
             probs = rec_model.apply(params, x)
             return ctc_greedy_decode(probs)
 
@@ -179,10 +179,13 @@ class DevicePipeline:
             bw = _bucket_up(rw, cfg.buckets.det_pad_to, cfg.buckets.det_max_side)
             padded = np.zeros((bh, bw, 3), np.uint8)
             padded[:rh, :rw] = det_img
-            st = _Staged(ah, aw, ori_h, ori_w, rh, rw, None, None, None)
+            st = _Staged(ah, aw, ori_h, ori_w, rh, rw)
             staged.append(st)
             groups.setdefault((bh, bw), []).append((len(staged) - 1, padded))
-        for (bh, bw), items in groups.items():
+        self._dev_groups = {}
+        det_handles = {}
+        for key, items in groups.items():
+            bh, bw = key
             idxs = [i for i, _ in items]
             batch = np.stack([p for _, p in items])
             valids = np.asarray(
@@ -194,28 +197,38 @@ class DevicePipeline:
                 batch = np.concatenate([batch, np.zeros((pad, bh, bw, 3), np.uint8)])
                 valids = np.concatenate([valids, np.ones((pad, 2), np.int32)])
             dev_batch = jnp.asarray(batch)
+            valids_dev = jnp.asarray(valids)
             packed_b, prob8_b = self._det_fwd_batch(
-                self._params["det"], dev_batch, jnp.asarray(valids)
+                self._params["det"], dev_batch, valids_dev
             )
+            self._dev_groups[key] = (dev_batch, valids_dev)
+            det_handles[key] = (idxs, packed_b, prob8_b)
             for k, i in enumerate(idxs):
-                staged[i].dev_img = dev_batch[k]
-                staged[i].packed = packed_b[k]
-                staged[i].prob8 = prob8_b[k]
+                staged[i].group = key
+                staged[i].row = k
 
-        # ---- phase B: fetch det outputs, host postprocess (thread pool —
+        # ---- phase B: ONE fetch per group, host postprocess (thread pool —
         # the native C++ call releases the GIL), geometry ---------------- #
         from concurrent.futures import ThreadPoolExecutor
 
-        def _post(st: _Staged):
-            mask = unpack_mask(st.packed, st.dev_img.shape[1])[: st.rh, : st.rw]
-            pred = np.asarray(st.prob8)[: st.rh, : st.rw].astype(np.float32) / 255.0
+        post_in: list[tuple[_Staged, np.ndarray, np.ndarray]] = [None] * len(staged)
+        for key, (idxs, packed_b, prob8_b) in det_handles.items():
+            packed_np = np.asarray(packed_b)  # one transfer per group
+            prob8_np = np.asarray(prob8_b)
+            for k, i in enumerate(idxs):
+                post_in[i] = (staged[i], packed_np[k], prob8_np[k])
+
+        def _post(args):
+            st, packed_np, prob8_np = args
+            mask = unpack_mask(packed_np, prob8_np.shape[1])[: st.rh, : st.rw]
+            pred = prob8_np[: st.rh, : st.rw].astype(np.float32) / 255.0
             return det_postprocess(pred, mask, cfg.det, st.ah, st.aw)
 
         if len(staged) > 1:
             with ThreadPoolExecutor(max_workers=min(8, len(staged))) as pool:
-                results = list(pool.map(_post, staged))
+                results = list(pool.map(_post, post_in))
         else:
-            results = [_post(st) for st in staged]
+            results = [_post(a) for a in post_in]
 
         all_crops: list[_CropTask] = []
         for i, st in enumerate(staged):
@@ -288,13 +301,15 @@ class DevicePipeline:
     def _run_cls(self, staged: list[_Staged], all_crops: list[_CropTask]) -> None:
         cfg = self.cfg
         _, ch, cw = cfg.cls.image_shape
-        # group crops by source image (the warp kernel reads one image)
-        by_img: dict[int, list[_CropTask]] = {}
+        # group crops by det bucket group (the warp samples the group's
+        # stacked tensor by row index -> ONE call per group)
+        by_group: dict[tuple[int, int], list[_CropTask]] = {}
         for c in all_crops:
-            by_img.setdefault(c.img_i, []).append(c)
+            by_group.setdefault(staged[c.img_i].group, []).append(c)
         handles = []
-        for i, crops in by_img.items():
-            st = staged[i]
+        for key, crops in by_group.items():
+            imgs_dev, valids_dev = self._dev_groups[key]
+            rows = [staged[c.img_i].row for c in crops]
             widths = [
                 min(cw, int(math.ceil(ch * c.crop_w / c.crop_h))) for c in crops
             ]
@@ -306,12 +321,14 @@ class DevicePipeline:
                 pad = nb - len(crops)
                 homogs = np.concatenate([homogs, np.tile(np.eye(3, dtype=np.float32)[None], (pad, 1, 1))])
                 widths = widths + [1] * pad
+                rows = rows + [0] * pad
             probs = self._cls_fwd(
                 self._params["cls"],
-                st.dev_img,
+                imgs_dev,
+                jnp.asarray(np.asarray(rows, np.int32)),
                 jnp.asarray(homogs),
                 jnp.asarray(np.asarray(widths, np.int32)),
-                jnp.asarray([st.rh, st.rw], jnp.int32),
+                valids_dev,
             )
             handles.append((crops, probs))
         for crops, probs in handles:
@@ -330,18 +347,20 @@ class DevicePipeline:
     ) -> dict[tuple[int, int], RecText]:
         cfg = self.cfg
         _, rh, rw_default = cfg.rec.image_shape
-        # bucket by (image, padded width): the warp reads one source image
-        groups: dict[tuple[int, int], list[tuple[_CropTask, int]]] = {}
+        # bucket by (det group, padded width): one call per combination
+        groups: dict[tuple[tuple[int, int], int], list[tuple[_CropTask, int]]] = {}
         for c in all_crops:
             natural = int(math.ceil(rh * c.crop_w / c.crop_h))
             bw = _next_bucket(
                 max(natural, rw_default), cfg.buckets.rec_width_buckets
             )
-            groups.setdefault((c.img_i, bw), []).append((c, min(natural, bw)))
+            key = staged[c.img_i].group
+            groups.setdefault((key, bw), []).append((c, min(natural, bw)))
         handles = []
-        for (i, bw), items in sorted(groups.items()):
-            st = staged[i]
+        for (key, bw), items in sorted(groups.items()):
+            imgs_dev, valids_dev = self._dev_groups[key]
             crops = [c for c, _ in items]
+            rows = [staged[c.img_i].row for c in crops]
             widths = [w for _, w in items]
             homogs = np.stack(
                 [
@@ -354,12 +373,14 @@ class DevicePipeline:
                 pad = nb - len(crops)
                 homogs = np.concatenate([homogs, np.tile(np.eye(3, dtype=np.float32)[None], (pad, 1, 1))])
                 widths = widths + [1] * pad
+                rows = rows + [0] * pad
             idx, keep, score = self._rec_fwd(
                 self._params["rec"],
-                st.dev_img,
+                imgs_dev,
+                jnp.asarray(np.asarray(rows, np.int32)),
                 jnp.asarray(homogs),
                 jnp.asarray(np.asarray(widths, np.int32)),
-                jnp.asarray([st.rh, st.rw], jnp.int32),
+                valids_dev,
                 out_w=bw,
             )
             handles.append((crops, idx, keep, score))

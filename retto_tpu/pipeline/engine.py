@@ -72,7 +72,10 @@ class JaxEngine:
                 if params is None:
                     raise RettoEngineError(f"{name} model given without params")
                 self._fns[name] = jax.jit(model.apply)
-                self._params[name] = params
+                # params MUST live on device: host-numpy params re-upload
+                # the full weight set on EVERY call (300 ms/call through
+                # the 40 MB/s tunnel)
+                self._params[name] = jax.device_put(params)
 
     def _run(self, name: str, x) -> jax.Array:
         if name not in self._fns:

@@ -61,7 +61,7 @@ class OnnxEngine:
             if src is None:
                 continue
             fn, params = build_fn(resolve_model_source(src))
-            self._fns[name] = (jax.jit(fn), params)
+            self._fns[name] = (jax.jit(fn), jax.device_put(params))
 
     def _run(self, name: str, x):
         from ..errors import RettoEngineError
