@@ -124,6 +124,7 @@ def warp_crops_multi(
 
 
 def _warp_impl(img, homographies, out_h: int, out_w: int, fill: float, h, w):
+    ch = img.shape[-1]
     ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)  # [out_h, out_w]
@@ -154,6 +155,6 @@ def _warp_impl(img, homographies, out_h: int, out_w: int, fill: float, h, w):
         top = v00 * (1 - fx) + v01 * fx
         bot = v10 * (1 - fx) + v11 * fx
         out = top * (1 - fy) + bot * fy
-        return out.reshape(out_h, out_w, 3)
+        return out.reshape(out_h, out_w, ch)
 
     return jax.vmap(one)(homographies)

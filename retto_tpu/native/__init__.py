@@ -53,6 +53,20 @@ def _load() -> ctypes.CDLL | None:
     if path is None:
         return None
     lib = ctypes.CDLL(str(path))
+    lib.rt_det_candidates.restype = ctypes.c_int
+    lib.rt_det_candidates.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.rt_det_finalize.restype = ctypes.c_int
+    lib.rt_det_finalize.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+    ]
     lib.rt_det_postprocess.restype = ctypes.c_int
     lib.rt_det_postprocess.argtypes = [
         ctypes.POINTER(ctypes.c_float),  # pred
@@ -103,5 +117,47 @@ def det_postprocess_native(
         boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         max_boxes,
+    )
+    return boxes[:n].copy(), scores[:n].copy()
+
+
+def det_candidates_native(
+    mask: np.ndarray, min_mini_box_size: int, max_candidates: int,
+    max_boxes: int = 1024,
+) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    mask_u8 = np.ascontiguousarray(mask, np.uint8)
+    h, w = mask_u8.shape
+    boxes = np.zeros((max_boxes, 4, 2), np.float32)
+    n = lib.rt_det_candidates(
+        mask_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        int(min_mini_box_size), int(max_candidates),
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_boxes,
+    )
+    return boxes[:n].copy()
+
+
+def det_finalize_native(
+    cand_boxes: np.ndarray, cand_scores: np.ndarray,
+    box_thresh: float, unclip_ratio: float, min_mini_box_size: int,
+    bitmap_h: int, bitmap_w: int, dest_h: int, dest_w: int,
+    max_boxes: int = 1024,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    lib = _load()
+    if lib is None:
+        return None
+    cb = np.ascontiguousarray(cand_boxes, np.float32)
+    cs = np.ascontiguousarray(cand_scores, np.float32)
+    boxes = np.zeros((max_boxes, 4, 2), np.float32)
+    scores = np.zeros((max_boxes,), np.float32)
+    n = lib.rt_det_finalize(
+        cb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(cb),
+        float(box_thresh), float(unclip_ratio), int(min_mini_box_size),
+        int(bitmap_h), int(bitmap_w), int(dest_h), int(dest_w),
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_boxes,
     )
     return boxes[:n].copy(), scores[:n].copy()

@@ -377,6 +377,107 @@ void find_contours(const uint8_t* mask, int h, int w, Contours& out) {
 
 extern "C" {
 
+// Split API, first half: contours -> integer min-area rects -> sside
+// filter.  Returns candidate count; quads into out_boxes (max_boxes*8).
+int rt_det_candidates(const uint8_t* mask, int h, int w,
+                      int min_mini_box_size, int max_candidates,
+                      float* out_boxes, int max_boxes) {
+  Contours cont;
+  find_contours(mask, h, w, cont);
+  size_t ncand = cont.sets.size();
+  if (max_candidates > 0 && ncand > (size_t)max_candidates)
+    ncand = max_candidates;
+  int n = 0;
+  for (size_t ci = 0; ci < ncand && n < max_boxes; ci++) {
+    P box[4];
+    if (!min_area_rect(cont.sets[ci], box)) continue;
+    for (int k = 0; k < 4; k++) {
+      box[k].x = std::nearbyint((double)(float)box[k].x);
+      box[k].y = std::nearbyint((double)(float)box[k].y);
+    }
+    double side1 = std::hypot(box[0].x - box[1].x, box[0].y - box[1].y);
+    double side2 = std::hypot(box[3].x - box[2].x, box[3].y - box[2].y);
+    if (std::min(side1, side2) < (double)min_mini_box_size) continue;
+    for (int k = 0; k < 4; k++) {
+      out_boxes[n * 8 + k * 2] = (float)box[k].x;
+      out_boxes[n * 8 + k * 2 + 1] = (float)box[k].y;
+    }
+    n++;
+  }
+  return n;
+}
+
+// Split API, second half: score filter -> unclip -> re-rect -> rescale ->
+// size filter -> reading-order sort.  cand_boxes/cand_scores: M candidates.
+int rt_det_finalize(const float* cand_boxes, const float* cand_scores, int m,
+                    double box_thresh, double unclip_ratio,
+                    int min_mini_box_size, int bitmap_h, int bitmap_w,
+                    int dest_h, int dest_w, float* out_boxes,
+                    float* out_scores, int max_boxes) {
+  struct Cand {
+    P box[4];
+    float score;
+    double cx, cy;
+  };
+  std::vector<Cand> cands;
+  for (int ci = 0; ci < m; ci++) {
+    if (cand_scores[ci] < box_thresh) continue;
+    P box[4];
+    for (int k = 0; k < 4; k++)
+      box[k] = {cand_boxes[ci * 8 + k * 2], cand_boxes[ci * 8 + k * 2 + 1]};
+    std::vector<P> grown = unclip(box, unclip_ratio);
+    P box2[4];
+    if (!min_area_rect(grown, box2)) continue;
+    double s1 = std::hypot(box2[0].x - box2[1].x, box2[0].y - box2[1].y);
+    double s2 = std::hypot(box2[3].x - box2[2].x, box2[3].y - box2[2].y);
+    if (std::min(s1, s2) < (double)(min_mini_box_size + 2)) continue;
+    P box3[4];
+    double invx = (double)dest_w / bitmap_w, invy = (double)dest_h / bitmap_h;
+    for (int k = 0; k < 4; k++) {
+      double xx = std::nearbyint((double)(float)box2[k].x * invx);
+      double yy = std::nearbyint((double)(float)box2[k].y * invy);
+      box3[k].x = (double)(float)std::clamp(xx, 0.0, (double)dest_w - 1);
+      box3[k].y = (double)(float)std::clamp(yy, 0.0, (double)dest_h - 1);
+    }
+    double bh = std::hypot(box3[0].x - box3[3].x, box3[0].y - box3[3].y);
+    double bw = std::hypot(box3[0].x - box3[1].x, box3[0].y - box3[1].y);
+    if (bh <= 3.0 || bw <= 3.0) continue;
+    Cand c;
+    std::memcpy(c.box, box3, sizeof(box3));
+    c.score = cand_scores[ci];
+    c.cx = (box3[0].x + box3[2].x) / 2.0;
+    c.cy = (box3[0].y + box3[2].y) / 2.0;
+    cands.push_back(c);
+  }
+  std::vector<int> idx(cands.size());
+  for (size_t i = 0; i < idx.size(); i++) idx[i] = (int)i;
+  std::stable_sort(idx.begin(), idx.end(), [&](int a, int b) {
+    return (float)cands[a].cy < (float)cands[b].cy;
+  });
+  int n = (int)idx.size();
+  for (int i = 0; i < n - 1; i++) {
+    for (int j = i; j >= 0; j--) {
+      int a = idx[j], b = idx[j + 1];
+      if (std::fabs((float)cands[b].cy - (float)cands[a].cy) < 10.0f &&
+          (float)cands[b].cx < (float)cands[a].cx) {
+        std::swap(idx[j], idx[j + 1]);
+      } else {
+        break;
+      }
+    }
+  }
+  int out_n = std::min(n, max_boxes);
+  for (int i = 0; i < out_n; i++) {
+    const Cand& c = cands[idx[i]];
+    for (int k = 0; k < 4; k++) {
+      out_boxes[i * 8 + k * 2] = (float)c.box[k].x;
+      out_boxes[i * 8 + k * 2 + 1] = (float)c.box[k].y;
+    }
+    out_scores[i] = c.score;
+  }
+  return out_n;
+}
+
 // Fused det postprocess.  Inputs: pred [h*w] f32 prob map, mask [h*w] u8,
 // dest_h/dest_w rescale target, thresholds.  Outputs: boxes (max_boxes*8
 // floats, clockwise-from-TL), scores (max_boxes).  Returns box count.

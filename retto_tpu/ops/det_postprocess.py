@@ -29,7 +29,80 @@ from ..geometry import (
 from .contours import find_contour_point_sets
 from .raster import box_score_fast
 
-__all__ = ["det_postprocess"]
+__all__ = ["det_postprocess", "det_candidates", "det_finalize"]
+
+
+def det_candidates(mask: np.ndarray, cfg: DetConfig) -> np.ndarray:
+    """First half of the postprocess, no probability map needed: contours ->
+    integer min-area rects -> sside filter.  Returns candidate quads
+    [M, 4, 2] float32.  Used by the device pipeline, which scores the
+    candidates ON DEVICE (resampled mean) instead of downloading the prob
+    map (PERFORMANCE-mode deviation; compat path uses det_postprocess)."""
+    from ..native import det_candidates_native
+
+    out = det_candidates_native(mask, cfg.min_mini_box_size, cfg.max_candidates)
+    if out is not None:
+        return out
+    boxes = []
+    for contour in find_contour_point_sets(mask, cfg.max_candidates):
+        box, _ = min_area_rect(contour)
+        box = np.round(box).astype(np.float64)
+        side1 = float(np.linalg.norm(box[0] - box[1]))
+        side2 = float(np.linalg.norm(box[3] - box[2]))
+        if min(side1, side2) < cfg.min_mini_box_size:
+            continue
+        boxes.append(box)
+    if not boxes:
+        return np.zeros((0, 4, 2), np.float32)
+    return np.stack(boxes).astype(np.float32)
+
+
+def det_finalize(
+    cand_boxes: np.ndarray,
+    cand_scores: np.ndarray,
+    cfg: DetConfig,
+    bitmap_h: int,
+    bitmap_w: int,
+    dest_h: int,
+    dest_w: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Second half: score filter -> unclip -> re-rect -> rescale -> size
+    filter -> reading-order sort.  Mirrors det_postprocess after scoring."""
+    from ..native import det_finalize_native
+
+    if len(cand_boxes):
+        out = det_finalize_native(
+            cand_boxes, cand_scores, cfg.box_thresh, cfg.unclip_ratio,
+            cfg.min_mini_box_size, bitmap_h, bitmap_w, dest_h, dest_w,
+        )
+        if out is not None:
+            return out
+    boxes: list[np.ndarray] = []
+    scores: list[float] = []
+    for box, score in zip(np.asarray(cand_boxes, np.float64), cand_scores):
+        if score < cfg.box_thresh:
+            continue
+        expanded = unclip(box, cfg.unclip_ratio)
+        box2, sside2 = min_area_rect(expanded)
+        if sside2 < cfg.min_mini_box_size + 2:
+            continue
+        box3 = scale_and_clip(box2[None], bitmap_w, bitmap_h, dest_w, dest_h)[0]
+        bh = float(np.linalg.norm(box3[0] - box3[3]))
+        bw = float(np.linalg.norm(box3[0] - box3[1]))
+        if bh <= 3.0 or bw <= 3.0:
+            continue
+        boxes.append(box3)
+        scores.append(float(score))
+    if not boxes:
+        return (
+            np.zeros((0, 4, 2), dtype=np.float32),
+            np.zeros((0,), dtype=np.float32),
+        )
+    boxes_arr = np.stack(boxes).astype(np.float32)
+    scores_arr = np.asarray(scores, dtype=np.float32)
+    centers = (boxes_arr[:, 0] + boxes_arr[:, 2]) / 2.0
+    order = sort_boxes_reading_order(centers, y_tol=10.0)
+    return boxes_arr[order], scores_arr[order]
 
 
 def det_postprocess(

@@ -46,7 +46,7 @@ from ..image.warp import warp_crops_multi
 from ..ops.charset import CharacterDict
 from ..ops.ctc import ctc_greedy_decode
 from ..ops.db_post import binarize_dilate_packed, unpack_mask
-from ..ops.det_postprocess import det_postprocess
+from ..ops.det_postprocess import det_candidates, det_finalize
 from ..results import (
     ClsLabel,
     ClsResult,
@@ -123,10 +123,32 @@ class DevicePipeline:
             packed = jax.vmap(
                 lambda p: binarize_dilate_packed(p, det_cfg.thresh, dilate)
             )(pred)
-            prob8 = jnp.round(pred[:, 0] * 255.0).astype(jnp.uint8)
-            return packed, prob8
+            # the prob map STAYS on device; candidates are scored there
+            return packed, pred[:, 0]
 
         self._det_fwd_batch = jax.jit(det_fwd_batch)
+
+        def score_fwd(preds, rows, homogs):
+            """Mean probability inside each candidate quad, via a 16x64
+            bilinear resample of the prob map over the quad (PERFORMANCE-
+            mode approximation of box_score_fast; exact pixel means stay in
+            the compat path).  preds [B, H, W]; rows/homogs per candidate."""
+            samples = warp_crops_multi(
+                preds[..., None],
+                rows,
+                homogs,
+                # quads never reach outside the map: pass full bounds
+                jnp.tile(
+                    jnp.asarray(preds.shape[1:3], jnp.int32)[None],
+                    (preds.shape[0], 1),
+                ),
+                16,
+                64,
+                fill=0.0,
+            )
+            return samples.mean(axis=(1, 2, 3))
+
+        self._score_fwd = jax.jit(score_fwd)
 
         def warp_norm(imgs_u8, rows, homogs, widths, valid_hw, out_h, out_w):
             crops = warp_crops_multi(
@@ -207,28 +229,71 @@ class DevicePipeline:
                 staged[i].group = key
                 staged[i].row = k
 
-        # ---- phase B: ONE fetch per group, host postprocess (thread pool —
-        # the native C++ call releases the GIL), geometry ---------------- #
+        # ---- phase B: fetch the 1-bit mask per group (the prob map stays
+        # on device), extract candidates (thread pool — the native C++ call
+        # releases the GIL), score candidates ON DEVICE, finalize ---------- #
         from concurrent.futures import ThreadPoolExecutor
 
-        post_in: list[tuple[_Staged, np.ndarray, np.ndarray]] = [None] * len(staged)
-        for key, (idxs, packed_b, prob8_b) in det_handles.items():
-            packed_np = np.asarray(packed_b)  # one transfer per group
-            prob8_np = np.asarray(prob8_b)
+        cand_in: list[tuple[_Staged, np.ndarray, int]] = [None] * len(staged)
+        for key, (idxs, packed_b, _pred_b) in det_handles.items():
+            packed_np = np.asarray(packed_b)  # one transfer per group (1 bit/px)
+            w_full = key[1]  # the group's padded width (packed is W/8 wide)
             for k, i in enumerate(idxs):
-                post_in[i] = (staged[i], packed_np[k], prob8_np[k])
+                cand_in[i] = (staged[i], packed_np[k], w_full)
 
-        def _post(args):
-            st, packed_np, prob8_np = args
-            mask = unpack_mask(packed_np, prob8_np.shape[1])[: st.rh, : st.rw]
-            pred = prob8_np[: st.rh, : st.rw].astype(np.float32) / 255.0
-            return det_postprocess(pred, mask, cfg.det, st.ah, st.aw)
+        def _cands(args):
+            st, packed_np, w_full = args
+            mask = unpack_mask(packed_np, w_full)[: st.rh, : st.rw]
+            return det_candidates(mask, cfg.det)
 
         if len(staged) > 1:
             with ThreadPoolExecutor(max_workers=min(8, len(staged))) as pool:
-                results = list(pool.map(_post, post_in))
+                cands = list(pool.map(_cands, cand_in))
         else:
-            results = [_post(a) for a in post_in]
+            cands = [_cands(a) for a in cand_in]
+
+        # device scoring: one call per det group over all its candidates
+        score_rect = np.array(
+            [[0, 0], [64, 0], [64, 16], [0, 16]], np.float64
+        )
+        all_scores: list[np.ndarray | None] = [None] * len(staged)
+        for key, (idxs, _packed_b, pred_b) in det_handles.items():
+            rows, homogs, owners = [], [], []
+            for k, i in enumerate(idxs):
+                for quad in cands[i]:
+                    c = perspective_coeffs(score_rect, quad)
+                    homogs.append(
+                        np.array([[c[0], c[1], c[2]], [c[3], c[4], c[5]],
+                                  [c[6], c[7], 1.0]], np.float32)
+                    )
+                    rows.append(k)
+                    owners.append(i)
+            if not rows:
+                for i in idxs:
+                    all_scores[i] = np.zeros((0,), np.float32)
+                continue
+            m = len(rows)
+            mb = _next_bucket(m, (16, 64, 256, 1024))
+            if mb > m:
+                homogs += [np.eye(3, dtype=np.float32)] * (mb - m)
+                rows += [0] * (mb - m)
+            sc = np.asarray(
+                self._score_fwd(
+                    pred_b,
+                    jnp.asarray(np.asarray(rows, np.int32)),
+                    jnp.asarray(np.stack(homogs)),
+                )
+            )[:m]
+            for i in idxs:
+                own = [j for j, o in enumerate(owners) if o == i]
+                all_scores[i] = sc[own]
+
+        results = [
+            det_finalize(
+                cands[i], all_scores[i], cfg.det, st.rh, st.rw, st.ah, st.aw
+            )
+            for i, st in enumerate(staged)
+        ]
 
         all_crops: list[_CropTask] = []
         for i, st in enumerate(staged):
