@@ -83,7 +83,7 @@ def render_rec_dataset(rng, n):
     return imgs, np.asarray(labels), np.asarray(lengths), texts
 
 
-def train_rec(steps=9000, batch=96, lr=1.2e-3, data_n=16384, seed=0):
+def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0):
     rng = np.random.default_rng(seed)
     print(f"[rec] rendering {data_n} lines ...", flush=True)
     imgs, labels, lengths, _ = render_rec_dataset(rng, data_n)
@@ -290,7 +290,7 @@ def render_cls_pipeline_dataset(rng, n_pages=1600):
     return crops
 
 
-def render_rec_pipeline_dataset(rng, n_pages=1200, max_len=16):
+def render_rec_pipeline_dataset(rng, n_pages=2400, max_len=16):
     """Rec training crops from the REAL det pipeline: det boxes are matched
     to ground-truth line boxes by IoU-of-centers so each crop carries its
     true text — rec trains on exactly the crops (margins, warp resampling,
@@ -437,7 +437,7 @@ def main():
     OUT.mkdir(exist_ok=True)
     s = args.steps_scale
     if args.target in ("rec", "all"):
-        train_rec(steps=int(9000 * s) or None)
+        train_rec(steps=int(16000 * s))
     if args.target in ("cls", "all"):
         train_cls(steps=int(9000 * s))
     if args.target in ("det", "all"):
