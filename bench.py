@@ -1,17 +1,21 @@
 #!/usr/bin/env python
 """Benchmark entry point (driver-run on real TPU hardware).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Headline metric: end-to-end OCR throughput (det+cls+rec) in document
-images/sec/chip when trained weights are present in ``trained_weights/``;
-otherwise falls back to the recognition-only throughput (BASELINE.json
-config 2) with the mobile SVTR model, since untrained det weights produce
-no stable box workload to measure.
+Headline metric (the JSON "value"): BASELINE.json config 3 — end-to-end
+det+cls+rec throughput on 16 synthetic 960x704 pages, mobile models,
+fused DevicePipeline.  The other BASELINE configs ride along as extra
+keys (VERDICT r1 item 5):
+
+* config1_batch1_p50_ms   — single 960px receipt, batch 1 (p50 latency)
+* config2_rec_crops_per_sec — recognition-only SVTR mobile + CTC decode
+* config4_server_smoke_ms — PP-OCR server-preset det+rec compile+forward
+* config5_stream_imgs_per_sec — sustained streaming over mixed-size pages
+  (bucketed batching), with bucket-occupancy stats
 
 vs_baseline is measured against the BASELINE.json north star of 1000 full
-document images/sec/chip; the rec-only fallback uses 10 crops/document as
-the conversion (a typical document page yields ~10 text lines).
+document images/sec/chip.
 """
 
 from __future__ import annotations
@@ -33,7 +37,30 @@ NORTH_STAR_IMGS_PER_SEC = 1000.0
 CROPS_PER_DOC = 10.0
 
 
+def _build_session(weights_dir: Path, transfer: str = "yuv420"):
+    from retto_tpu.config import SessionConfig
+    from retto_tpu.ops.charset import CharacterDict
+    from retto_tpu.pipeline.session import RettoSession
+
+    chars = CharacterDict(
+        (weights_dir / "charset.txt").read_text().splitlines()
+    )
+    cfg = SessionConfig()
+    cfg.engine.transfer_format = transfer
+    return RettoSession(
+        cfg,
+        preset="mobile",
+        charset=chars,
+        weights={
+            "det": str(weights_dir / "det.npz"),
+            "cls": str(weights_dir / "cls.npz"),
+            "rec": str(weights_dir / "rec.npz"),
+        },
+    )
+
+
 def bench_rec_only() -> dict:
+    """BASELINE config 2: SVTR mobile 48x320 bf16 + on-device CTC."""
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +85,7 @@ def bench_rec_only() -> dict:
 
     # NOTE: block_until_ready is unreliable over the axon tunnel; time_fn
     # syncs via host fetch and amortizes the round trip over the chain.
-    per_iter, _ = time_fn(forward_decode, params, x, iters=100, warmup=3)
+    per_iter, _ = time_fn(forward_decode, params, x, iters=50, warmup=3)
     crops_per_sec = batch / per_iter
     return {
         "metric": "rec crops/sec/chip (SVTR mobile 48x320 + CTC decode)",
@@ -71,26 +98,10 @@ def bench_rec_only() -> dict:
 
 
 def bench_full_pipeline(weights_dir: Path) -> dict:
-    from retto_tpu.config import SessionConfig
-    from retto_tpu.ops.charset import CharacterDict
-    from retto_tpu.pipeline.session import RettoSession
+    """BASELINE configs 1 + 3: batch-1 latency and 16-page throughput."""
     from retto_tpu.train.synth import render_page
 
-    charset_file = weights_dir / "charset.txt"
-    chars = CharacterDict(
-        [ln for ln in charset_file.read_text().splitlines()]
-    ) if charset_file.exists() else None
-    cfg = SessionConfig()
-    session = RettoSession(
-        cfg,
-        preset="mobile",
-        charset=chars,
-        weights={
-            "det": str(weights_dir / "det.npz"),
-            "cls": str(weights_dir / "cls.npz"),
-            "rec": str(weights_dir / "rec.npz"),
-        },
-    )
+    session = _build_session(weights_dir)
     dp = session.device_pipeline()
     rng = np.random.default_rng(0)
     pages = [
@@ -110,7 +121,9 @@ def bench_full_pipeline(weights_dir: Path) -> dict:
         total += len(out)
     dt = time.perf_counter() - t0
     imgs_per_sec = total / dt
-    # single-image latency (includes one tunnel round trip per phase)
+    stats = dict(dp.last_stats)
+    # config 1: single-image latency (includes one tunnel round trip per
+    # phase — see device_pipeline.py)
     lat = []
     for _ in range(5):
         t1 = time.perf_counter()
@@ -121,7 +134,68 @@ def bench_full_pipeline(weights_dir: Path) -> dict:
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / NORTH_STAR_IMGS_PER_SEC, 4),
-        "p50_latency_ms": round(sorted(lat)[len(lat) // 2] * 1000, 1),
+        "config1_batch1_p50_ms": round(sorted(lat)[len(lat) // 2] * 1000, 1),
+        "phase_stats": {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in stats.items()
+        },
+    }
+
+
+def bench_streaming(weights_dir: Path) -> dict:
+    """BASELINE config 5: sustained streaming over mixed-size pages."""
+    from retto_tpu.train.synth import render_page
+
+    session = _build_session(weights_dir)
+    dp = session.device_pipeline()
+    rng = np.random.default_rng(1)
+    sizes = [(960, 704), (640, 512), (960, 704), (768, 576)]
+    pages = [
+        render_page(rng, session.chars, h=h, w=w, max_lines=5,
+                    lh_range=(24, 48))[0]
+        for _ in range(3)
+        for (h, w) in sizes
+    ]
+    batches = [pages[i::4] for i in range(4)]  # 4 batches of 3 mixed sizes
+    for b in batches[:2]:
+        dp.run_many(b)  # warm the bucket set
+    t0 = time.perf_counter()
+    total = 0
+    crops = 0
+    for _ in range(4):
+        for b in batches:
+            out = dp.run_many(b)
+            total += len(out)
+            crops += dp.last_stats["crops"]
+    dt = time.perf_counter() - t0
+    return {
+        "config5_stream_imgs_per_sec": round(total / dt, 2),
+        "config5_crops_per_sec": round(crops / dt, 1),
+    }
+
+
+def bench_server_smoke() -> dict:
+    """BASELINE config 4 smoke: server-preset det+rec compile + forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from retto_tpu.models import build_det, build_rec
+    from retto_tpu.utils import time_fn
+    from retto_tpu.weights import init_random_params
+
+    det = build_det("server", compute_dtype="bfloat16")
+    rec = build_rec("server", num_classes=6625, compute_dtype="bfloat16")
+    xd = jnp.zeros((4, 3, 1024, 768), jnp.float32)
+    xr = jnp.zeros((32, 3, 48, 320), jnp.float32)
+    pd = init_random_params(det, jnp.zeros((1, 3, 64, 64)))
+    pr = init_random_params(rec, jnp.zeros((1, 3, 48, 64)))
+    det_t, _ = time_fn(jax.jit(det.apply), pd, xd, iters=3, warmup=1)
+    rec_t, _ = time_fn(jax.jit(rec.apply), pr, xr, iters=3, warmup=1)
+    return {
+        "config4_server_smoke_ms": {
+            "det_batch4_1024x768": round(det_t * 1000, 1),
+            "rec_batch32_48x320": round(rec_t * 1000, 1),
+        }
     }
 
 
@@ -129,6 +203,19 @@ def main() -> None:
     weights_dir = Path(__file__).parent / "trained_weights"
     if (weights_dir / "rec.npz").exists() and (weights_dir / "det.npz").exists():
         result = bench_full_pipeline(weights_dir)
+        try:
+            rec = bench_rec_only()
+            result["config2_rec_crops_per_sec"] = rec["value"]
+        except Exception as e:  # noqa: BLE001 - aux config must not kill bench
+            result["config2_error"] = str(e)
+        try:
+            result.update(bench_streaming(weights_dir))
+        except Exception as e:  # noqa: BLE001
+            result["config5_error"] = str(e)
+        try:
+            result.update(bench_server_smoke())
+        except Exception as e:  # noqa: BLE001
+            result["config4_error"] = str(e)
     else:
         result = bench_rec_only()
     print(json.dumps(result))

@@ -29,12 +29,43 @@ __all__ = ["main"]
 IMAGE_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".webp", ".gif", ".tiff"}
 
 
+def _apply_device_flags(args) -> None:
+    """--device / --device-id (reference CLI surface, main.rs:18-39:
+    clap flags choosing the execution provider + ordinal).  Here they pick
+    the JAX platform and the default device ordinal."""
+    device = getattr(args, "device", "auto")
+    if device and device != "auto":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", device)
+        except RuntimeError as e:  # backend already initialized
+            print(f"warning: cannot switch device to {device}: {e}",
+                  file=sys.stderr)
+    device_id = getattr(args, "device_id", 0)
+    if device_id:
+        import jax
+
+        devs = jax.devices()
+        if device_id >= len(devs):
+            print(
+                f"error: device-id {device_id} out of range "
+                f"({len(devs)} devices)",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+        jax.config.update("jax_default_device", devs[device_id])
+
+
 def _build_session(args):
     from .config import PipelineMode, SessionConfig
     from .ops.charset import CharacterDict
     from .pipeline.session import RettoSession
 
+    _apply_device_flags(args)
     cfg = SessionConfig()
+    if getattr(args, "transfer", None):
+        cfg.engine.transfer_format = args.transfer
     cfg.mode = PipelineMode(args.mode)
     if args.limit_side_len:
         cfg.det.limit_side_len = args.limit_side_len
@@ -76,14 +107,8 @@ def cmd_ocr(args) -> int:
     timers = StageTimers()
     n_ok = 0
     t0 = time.perf_counter()
-    for f in files:
-        try:
-            with timers.time("image"):
-                res = session_run(runner, f.read_bytes())
-            n_ok += 1
-        except RettoError as e:
-            print(f"{f}: ERROR {e}", file=sys.stderr)
-            continue
+
+    def emit(f: Path, res) -> None:
         line = {
             "file": str(f),
             "texts": [
@@ -98,6 +123,41 @@ def cmd_ocr(args) -> int:
         else:
             texts = " | ".join(t.text for t in res.rec_result)
             print(f"{f.name}: {texts}")
+
+    if args.device_pipeline:
+        # batch files through run_many so the CLI gets the bench-grade
+        # cross-image bucketed batching (VERDICT r1 item 7)
+        bs = max(1, args.batch)
+        for s in range(0, len(files), bs):
+            group = files[s : s + bs]
+            try:
+                with timers.time("batch"):
+                    results = runner.run_many([f.read_bytes() for f in group])
+            except RettoError as e:
+                # isolate: retry one-by-one so a bad image skips itself
+                results = []
+                for f in group:
+                    try:
+                        results.append(runner.run(f.read_bytes()))
+                    except RettoError as e1:
+                        print(f"{f}: ERROR {e1}", file=sys.stderr)
+                        results.append(None)
+                del e
+            for f, res in zip(group, results):
+                if res is None:
+                    continue
+                emit(f, res)
+                n_ok += 1
+    else:
+        for f in files:
+            try:
+                with timers.time("image"):
+                    res = session_run(runner, f.read_bytes())
+                n_ok += 1
+            except RettoError as e:
+                print(f"{f}: ERROR {e}", file=sys.stderr)
+                continue
+            emit(f, res)
     dt = time.perf_counter() - t0
     if out_f:
         out_f.close()
@@ -118,7 +178,13 @@ def cmd_serve(args) -> int:
     from .serve import serve
 
     session = _build_session(args)
-    serve(session, args.host, args.port)
+    serve(
+        session,
+        args.host,
+        args.port,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+    )
     return 0
 
 
@@ -146,6 +212,16 @@ def main(argv: list[str] | None = None) -> int:
                      choices=["compat", "performance"])
     ocr.add_argument("--device-pipeline", action="store_true",
                      help="use the fused device-resident fast path")
+    ocr.add_argument("--batch", type=int, default=16,
+                     help="files per run_many batch (with --device-pipeline)")
+    ocr.add_argument("--device", default="auto",
+                     choices=["auto", "tpu", "cpu"],
+                     help="execution platform (reference: --device)")
+    ocr.add_argument("--device-id", type=int, default=0,
+                     help="device ordinal (reference: --device-id)")
+    ocr.add_argument("--transfer", default=None,
+                     choices=["rgb", "yuv420"],
+                     help="host->device image transfer format")
     ocr.add_argument("--json-out", default=None, help="write JSONL results")
     ocr.add_argument("--full", action="store_true",
                      help="include boxes/labels in JSON output")
@@ -160,6 +236,15 @@ def main(argv: list[str] | None = None) -> int:
     srv = sub.add_parser("serve", help="HTTP OCR server (NDJSON streaming)")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=8471)
+    srv.add_argument("--max-batch", type=int, default=16,
+                     help="micro-batch size for concurrent /ocr requests")
+    srv.add_argument("--max-wait-ms", type=float, default=5.0,
+                     help="micro-batch gather window")
+    srv.add_argument("--device", default="auto",
+                     choices=["auto", "tpu", "cpu"])
+    srv.add_argument("--device-id", type=int, default=0)
+    srv.add_argument("--transfer", default=None,
+                     choices=["rgb", "yuv420"])
     srv.add_argument("--weights-dir", default="trained_weights")
     srv.add_argument("--charset", default=None)
     srv.add_argument("--preset", default="mobile",

@@ -106,6 +106,15 @@ class BucketConfig:
     rec_width_buckets: tuple[int, ...] = (192, 320, 512, 768, 1024, 1536, 2048)
     cls_batch_buckets: tuple[int, ...] = (8, 16, 32, 64)
     rec_batch_buckets: tuple[int, ...] = (8, 16, 32, 64)
+    # DevicePipeline extensions (pipeline/device_pipeline.py):
+    # batch-dim buckets for the det forward
+    det_batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16)
+    # candidate-count buckets for on-device box scoring
+    score_buckets: tuple[int, ...] = (16, 64, 256, 1024)
+    # pad step for the uploaded (session-resolution) image planes
+    upload_pad_to: int = 64
+    # max images per upload/det chunk (chunks pipeline upload vs compute)
+    det_chunk: int = 8
 
 
 @dataclass
@@ -118,6 +127,10 @@ class EngineConfig:
     donate_inputs: bool = True
     # run det/cls/rec under one device mesh, sharding the batch dim
     data_parallel: bool = True
+    # host->device image transfer format for DevicePipeline:
+    # "rgb" (3 B/px, byte-exact) or "yuv420" (1.5 B/px; JPEG-grade chroma
+    # subsampling — see image/yuv.py)
+    transfer_format: str = "rgb"
 
 
 @dataclass

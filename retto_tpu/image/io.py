@@ -74,7 +74,13 @@ def perspective_coeffs(dst_quad: np.ndarray, src_quad: np.ndarray) -> np.ndarray
         a.append([x, y, 1, 0, 0, 0, -u * x, -u * y])
         a.append([0, 0, 0, x, y, 1, -v * x, -v * y])
         b.extend([u, v])
-    return np.linalg.solve(np.asarray(a), np.asarray(b))
+    try:
+        return np.linalg.solve(np.asarray(a), np.asarray(b))
+    except np.linalg.LinAlgError:
+        # degenerate quad (collinear corners after integer rounding of a
+        # sliver min-area rect) — least-squares keeps the pipeline running;
+        # the garbage box is filtered downstream by box_thresh/size checks
+        return np.linalg.lstsq(np.asarray(a), np.asarray(b), rcond=None)[0]
 
 
 class ImageHelper:

@@ -246,19 +246,35 @@ struct Contours {
 };
 
 void find_contours(const uint8_t* mask, int h, int w, Contours& out) {
-  std::vector<int32_t> label(h * w, 0);
-  int next = 0;
+  // visited flags are u8 (labels were only ever tested non-zero), and the
+  // raster scan skips 8 empty mask bytes per step — text masks are sparse,
+  // and this pass is on the single-core host's critical path
+  std::vector<uint8_t> label(h * w, 0);
   std::vector<int32_t> stack;
   auto at = [&](int y, int x) { return y * w + x; };
   // fg components, 8-connectivity
   std::vector<std::vector<P>> comps;
+  size_t n_fg = 0;
   for (int y = 0; y < h; y++) {
-    for (int x = 0; x < w; x++) {
-      if (!mask[at(y, x)] || label[at(y, x)]) continue;
-      next++;
+    const uint8_t* mrow = mask + (size_t)y * w;
+    int x = 0;
+    while (x < w) {
+      if (x + 8 <= w) {
+        uint64_t mword;
+        std::memcpy(&mword, mrow + x, 8);
+        if (mword == 0) {
+          x += 8;
+          continue;
+        }
+      }
+      if (!mrow[x] || label[at(y, x)]) {
+        x++;
+        continue;
+      }
       comps.emplace_back();
       stack.push_back(at(y, x));
-      label[at(y, x)] = next;
+      label[at(y, x)] = 1;
+      n_fg++;
       while (!stack.empty()) {
         int idx = stack.back();
         stack.pop_back();
@@ -272,12 +288,14 @@ void find_contours(const uint8_t* mask, int h, int w, Contours& out) {
             int ny = cy + dy, nx = cx + dx;
             if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
             if (mask[at(ny, nx)] && !label[at(ny, nx)]) {
-              label[at(ny, nx)] = next;
+              label[at(ny, nx)] = 1;
+              n_fg++;
               stack.push_back(at(ny, nx));
             }
           }
         }
       }
+      x++;
     }
   }
   for (auto& c : comps) out.sets.push_back(std::move(c));
@@ -286,6 +304,7 @@ void find_contours(const uint8_t* mask, int h, int w, Contours& out) {
   // (usually none — the flood is the only full-image bg pass).
   std::vector<uint8_t> outside(h * w, 0);
   const int d4[4][2] = {{-1, 0}, {1, 0}, {0, -1}, {0, 1}};
+  size_t n_outside = 0;
   // scanline flood: seeds are whole horizontal bg runs, pushed once
   std::vector<std::pair<int, std::pair<int, int>>> runs;  // (y, [x0, x1))
   auto push_run = [&](int y, int x0, int x1) {
@@ -294,7 +313,7 @@ void find_contours(const uint8_t* mask, int h, int w, Contours& out) {
     while (x1 < w && !mask[at(y, x1)] && !outside[at(y, x1)]) x1++;
     bool any = false;
     for (int x = x0; x < x1; x++) {
-      if (!outside[at(y, x)]) { outside[at(y, x)] = 1; any = true; }
+      if (!outside[at(y, x)]) { outside[at(y, x)] = 1; n_outside++; any = true; }
     }
     if (any) runs.push_back({y, {x0, x1}});
   };
@@ -323,15 +342,16 @@ void find_contours(const uint8_t* mask, int h, int w, Contours& out) {
       }
     }
   }
-  std::vector<int32_t> blabel(h * w, 0);
-  int bnext = 0;
+  // hole pixels = everything neither fg nor outside; usually none, and
+  // then the whole third pass is skipped
+  if (n_fg + n_outside == (size_t)h * (size_t)w) return;
+  std::vector<uint8_t> blabel(h * w, 0);
   for (int y = 1; y < h - 1; y++) {
     for (int x = 1; x < w - 1; x++) {
       if (mask[at(y, x)] || outside[at(y, x)] || blabel[at(y, x)]) continue;
-      bnext++;
       std::vector<int32_t> pix;
       stack.push_back(at(y, x));
-      blabel[at(y, x)] = bnext;
+      blabel[at(y, x)] = 1;
       while (!stack.empty()) {
         int idx = stack.back();
         stack.pop_back();
@@ -341,7 +361,7 @@ void find_contours(const uint8_t* mask, int h, int w, Contours& out) {
           int ny = cy + d[0], nx = cx + d[1];
           if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
           if (!mask[at(ny, nx)] && !blabel[at(ny, nx)] && !outside[at(ny, nx)]) {
-            blabel[at(ny, nx)] = bnext;
+            blabel[at(ny, nx)] = 1;
             stack.push_back(at(ny, nx));
           }
         }

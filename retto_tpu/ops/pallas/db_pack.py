@@ -29,6 +29,75 @@ __all__ = ["binarize_dilate_pack_rows", "unpack_rows"]
 _TILE_H = 64  # rows per grid step (8 packed output rows)
 
 
+def _kernel_batched(pred_hbm, out_ref, scratch, halo, sems, *, thresh: float,
+                    dilate: bool, tile_h: int, h: int, w: int):
+    """Grid (B, H/tile_h); pred_hbm [B, H, W] stays in HBM, each step DMAs
+    its row tile (+1-row top halo) into VMEM."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    row0 = i * tile_h
+
+    dma_tile = pltpu.make_async_copy(
+        pred_hbm.at[b, pl.ds(row0, tile_h), :], scratch, sems.at[0]
+    )
+    dma_halo = pltpu.make_async_copy(
+        pred_hbm.at[b, pl.ds(jnp.maximum(row0 - 1, 0), 1), :], halo, sems.at[1]
+    )
+    dma_tile.start()
+    dma_halo.start()
+    dma_tile.wait()
+    dma_halo.wait()
+    out_ref[0] = _binarize_pack_tile(scratch, halo, thresh, dilate, tile_h, h, row0)
+
+
+def _binarize_pack_tile(scratch, halo, thresh, dilate, tile_h, h, row0):
+    cur = (scratch[:] > thresh).astype(jnp.float32)  # [tile_h, w]
+    if dilate:
+        halo_m = (halo[:] > thresh).astype(jnp.float32)  # [1, w]
+        abv = jnp.concatenate([halo_m, cur[: tile_h - 1]], axis=0)
+        col = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 1)
+        curl = jnp.where(col == 0, 0.0, pltpu.roll(cur, 1, 1))
+        abvl = jnp.where(col == 0, 0.0, pltpu.roll(abv, 1, 1))
+        m = jnp.maximum(jnp.maximum(cur, abv), jnp.maximum(curl, abvl))
+    else:
+        m = cur
+    rowid = jax.lax.broadcasted_iota(jnp.int32, m.shape, 0) + row0
+    m = jnp.where(rowid < h, m, 0.0)
+    k = tile_h // 8
+    grouped = m.reshape(k, 8, m.shape[1])
+    bit = jax.lax.broadcasted_iota(jnp.int32, grouped.shape, 1)
+    weights = jnp.exp2(7 - bit).astype(jnp.float32)
+    return (grouped * weights).sum(axis=1).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("thresh", "dilate", "interpret"))
+def binarize_dilate_pack_rows_batch(
+    pred: jax.Array, thresh: float = 0.3, dilate: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched fused binarize+dilate+bitpack: [B, H, W] f32 -> uint8
+    [B, H/8, W] (the DevicePipeline det mask path on real TPU)."""
+    b, h, w = pred.shape
+    assert h % _TILE_H == 0 and w % 128 == 0, (h, w)
+    return pl.pallas_call(
+        partial(_kernel_batched, thresh=thresh, dilate=dilate,
+                tile_h=_TILE_H, h=h, w=w),
+        out_shape=jax.ShapeDtypeStruct((b, h // 8, w), jnp.uint8),
+        grid=(b, h // _TILE_H),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, _TILE_H // 8, w), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_TILE_H, w), jnp.float32),
+            pltpu.VMEM((1, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(pred)
+
+
 def _kernel(pred_hbm, out_ref, scratch, halo, sems, *, thresh: float,
             dilate: bool, tile_h: int, h: int, w: int):
     i = pl.program_id(0)
@@ -46,33 +115,7 @@ def _kernel(pred_hbm, out_ref, scratch, halo, sems, *, thresh: float,
     dma_halo.start()
     dma_tile.wait()
     dma_halo.wait()
-
-    cur = (scratch[:] > thresh).astype(jnp.float32)  # [tile_h, w]
-    if dilate:
-        halo_m = (halo[:] > thresh).astype(jnp.float32)  # [1, w]
-        # rows above each output row: halo row then tile rows 0..tile_h-1
-        abv = jnp.concatenate([halo_m, cur[: tile_h - 1]], axis=0)
-        # out(y, x) = max over the up-left 2x2 neighborhood (cv2 semantics,
-        # ops/db_post.py).  Left shift: roll lanes right by 1, zero lane 0.
-        col = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 1)
-        curl = jnp.where(col == 0, 0.0, pltpu.roll(cur, 1, 1))
-        abvl = jnp.where(col == 0, 0.0, pltpu.roll(abv, 1, 1))
-        m = jnp.maximum(jnp.maximum(cur, abv), jnp.maximum(curl, abvl))
-    else:
-        m = cur
-
-    # zero rows past the true height (bucket padding)
-    rowid = jax.lax.broadcasted_iota(jnp.int32, m.shape, 0) + row0
-    m = jnp.where(rowid < h, m, 0.0)
-
-    # pack 8 consecutive rows into one uint8 row (big-endian: row 0 of the
-    # group is the high bit, numpy.unpackbits(axis=0)-compatible)
-    k = tile_h // 8
-    grouped = m.reshape(k, 8, m.shape[1])
-    bit = jax.lax.broadcasted_iota(jnp.int32, grouped.shape, 1)
-    weights = jnp.exp2(7 - bit).astype(jnp.float32)
-    packed = (grouped * weights).sum(axis=1).astype(jnp.uint8)
-    out_ref[:] = packed
+    out_ref[:] = _binarize_pack_tile(scratch, halo, thresh, dilate, tile_h, h, row0)
 
 
 @partial(jax.jit, static_argnames=("thresh", "dilate", "interpret"))

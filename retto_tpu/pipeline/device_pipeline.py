@@ -1,36 +1,54 @@
 """Device-resident fused pipeline (PERFORMANCE fast path).
 
-The "north star" design from SURVEY.md: the image is uploaded once as
-uint8; preprocessing, the three model forwards, binarization, crop warping,
-normalization, and CTC decode all run on the TPU; the host receives only
+The "north star" design from SURVEY.md: each image is uploaded ONCE at
+session resolution as uint8 (optionally YUV 4:2:0 — 1.5 B/px); the det
+resize, normalization, the three model forwards, binarization, crop
+warping, and CTC decode all run on the TPU; the host receives only
 
-* a bit-packed det mask + a uint8-quantized prob map (~1.1 bytes/pixel),
-* per-crop cls probabilities ([N, 2]),
-* per-crop CTC indices/keep-masks/scores (a few KB),
+* a bit-packed det mask (1 bit/px),
+* per-crop cls probabilities ([N, 2]) and CTC indices/keep-masks/scores,
 
 and performs the inherently sequential tail: contour tracing, min-area
 rects, homography solves (8x8), and string assembly.
 
+Link-aware scheduling (the tunneled chip: ~40 MB/s upload, ~50-300 ms per
+round trip — measured in tools/tunnel_probe*.py): the call is split into
+chunks of ``BucketConfig.det_chunk`` images; a dedicated upload thread
+streams chunk i+1's planes while the main thread fetches chunk i's mask
+and traces contours, so transfer, device compute, and host postprocess
+overlap.  The cls -> rec dependency (cls decides the 180-degree flip
+before rec reads the crop — cls_processor.rs:164-166) is fused into ONE
+device call per rec width bucket: the flip is applied on device by
+composing the rec sampling homography with a 180-degree rotation, so no
+cls round trip blocks rec dispatch.
+
 Deviations from the reference path (all confined to PERFORMANCE mode;
 COMPAT mode in pipeline.stages reproduces the reference exactly):
-* crops are sampled from the det-resized image instead of the
-  session-resized image (one device image instead of two);
-* box scores are computed from the uint8-quantized prob map (<=0.2%
-  quantization error);
+* the det input resize runs on device as two per-image bilinear matmuls
+  (MXU) instead of the host PIL resample (equal on upscales, no
+  anti-aliasing on extreme downscales);
+* box scores are a 16x64 bilinear resample mean of the prob map over the
+  candidate quad instead of the exact in-polygon pixel mean;
 * cls inputs are warped directly to the (48, 192) input canvas instead of
   crop -> resize (one resampling instead of two);
-* the cls 180-degree rotation is realized by composing the rec-warp
-  homography with a 180-degree rotation instead of flipping pixels.
+* with ``EngineConfig.transfer_format == "yuv420"``, images cross the
+  host->device link with JPEG-grade 4:2:0 chroma subsampling
+  (image/yuv.py; lossless-in-practice for JPEG-sourced inputs).
 
-Cross-image batching: ``run_many`` gathers the crops of ALL images in the
-call into shared width/batch buckets (BASELINE.json config 5 streaming
-shape), and stages device work so host postprocessing overlaps with device
-compute for other images.
+Cross-image batching: ``run_many`` gathers the crops of ALL images of a
+chunk into shared width/batch buckets (BASELINE.json config 5 streaming
+shape).  With ``mesh=``, the det batch and the crop batches are sharded
+over the mesh's 'data' axis; the per-chunk image tensor is re-replicated
+over ICI between det and the crop stages (crop gathers index arbitrary
+images, detection itself is activation-local — SURVEY.md §2 parallelism
+plan).
 """
 
 from __future__ import annotations
 
 import math
+import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Sequence
 
@@ -40,12 +58,13 @@ import numpy as np
 
 from ..config import SessionConfig
 from ..geometry import PointBox, scale_and_clip
-from ..image.io import ImageHelper, _pil_resize, decode_image, perspective_coeffs
-from .stages import _bucket_up, _next_bucket, det_input_dims
+from ..image.io import ImageHelper, decode_image, perspective_coeffs
 from ..image.warp import warp_crops_multi
+from ..image.yuv import rgb_to_yuv420, yuv420_to_rgb_device, yuv_planes_to_rgb
 from ..ops.charset import CharacterDict
 from ..ops.ctc import ctc_greedy_decode
 from ..ops.db_post import binarize_dilate_packed, unpack_mask
+from ..ops.pallas.db_pack import binarize_dilate_pack_rows_batch, unpack_rows
 from ..ops.det_postprocess import det_candidates, det_finalize
 from ..results import (
     ClsLabel,
@@ -56,33 +75,82 @@ from ..results import (
     RecResult,
     RecText,
 )
+from .stages import _bucket_up, _next_bucket, det_input_dims
 
 __all__ = ["DevicePipeline"]
+
+
+def _bilinear_matrix(src_valid, dst_valid, src_size: int, dst_size: int):
+    """Per-image bilinear resample matrix [B, dst_size, src_size] mapping a
+    [0, src_valid) source extent onto [0, dst_valid) of the dst canvas with
+    PIL-style pixel-center alignment.  Rows/cols beyond the valid extents
+    are zero.  Dense on purpose: the resample becomes two einsum matmuls on
+    the MXU instead of a gather chain (TPU-first; see module docstring)."""
+    i = jax.lax.broadcasted_iota(jnp.float32, (1, dst_size, 1), 1)
+    j = jax.lax.broadcasted_iota(jnp.float32, (1, 1, src_size), 2)
+    sv = src_valid[:, None, None]
+    dv = dst_valid[:, None, None]
+    sy = jnp.clip((i + 0.5) * (sv / dv) - 0.5, 0.0, sv - 1.0)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(sy - j))
+    return w * (i < dv) * (j < sv)
+
+
+def _resize2(wh, ww, img):
+    """img [B, H, W, C] resampled to [B, dh, dw, C] via two matmuls."""
+    t = jnp.einsum("bdh,bhwc->bdwc", wh, img)
+    return jnp.einsum("bew,bdwc->bdec", ww, t)
+
+
+def _warp_norm(imgs_u8, rows, homogs, widths, valid_hw, out_h: int, out_w: int):
+    """Crop-warp + rec/cls normalize ((x/255 - .5)/.5, right-pad zeroed) to
+    NCHW — resize_norm_image semantics (image_helper.rs:176-209)."""
+    crops = warp_crops_multi(
+        imgs_u8, rows, homogs, valid_hw, out_h, out_w, fill=255.0
+    )
+    x = (crops / 255.0 - 0.5) / 0.5
+    col = jnp.arange(out_w)[None, None, :, None]
+    x = jnp.where(col < widths[:, None, None, None], x, 0.0)
+    return jnp.transpose(x, (0, 3, 1, 2))
 
 
 @dataclass
 class _CropTask:
     img_i: int
     box_i: int
-    quad_det: np.ndarray  # warp-source quad in det-image coords (maybe rot90-reordered)
-    crop_h: int  # natural crop size in session coords (post-rot90)
+    quad: np.ndarray  # warp-source quad in SESSION coords (maybe rot90'd)
+    crop_h: int  # natural crop size (post-rot90)
     crop_w: int
-    rotated180: bool = False
+    cls_label: Any = None
 
 
 @dataclass
-class _Staged:
-    ah: int
+class _Img:
+    ah: int  # session-resized size (resize_both)
     aw: int
     ori_h: int
     ori_w: int
-    rh: int
+    rh: int  # det input size (resize_either)
     rw: int
-    group: tuple[int, int] | None = None  # det bucket group key
-    row: int = 0  # row within the group's stacked device tensor
+    fmt: str = "rgb"  # plane format this image ships in
+    row: int = 0  # row within the chunk's stacked device tensor
     boxes: np.ndarray | None = None
     scores: np.ndarray | None = None
+    cands: np.ndarray | None = None
     crops: list[_CropTask] = field(default_factory=list)
+
+
+@dataclass
+class _Chunk:
+    key: tuple  # (upload Hp, Wp, det dh, dw, plane format)
+    idxs: list[int]
+    upload_fut: Any = None  # -> (packed, pred, rgb_u8, valids_src_dev)
+    packed_np: np.ndarray | None = None
+    pred: Any = None
+    rgb: Any = None
+    valids_src: Any = None
+    score_handle: Any = None
+    score_owners: list[int] = field(default_factory=list)
+    score_n: int = 0
 
 
 class DevicePipeline:
@@ -94,39 +162,122 @@ class DevicePipeline:
         params: dict[str, Any],
         config: SessionConfig,
         chars: CharacterDict,
+        mesh=None,
     ):
         self.cfg = config
         self.chars = chars
-        # device-resident params (host-numpy params re-upload per call)
-        self._params = jax.device_put(params)
-        det_cfg = config.det
+        self.mesh = mesh
+        self.transfer = config.engine.transfer_format
+        if self.transfer not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown transfer_format {self.transfer!r}")
+        if mesh is not None:
+            from ..parallel.mesh import data_sharding, replicate
 
-        def det_fwd_batch(params, imgs_u8, valid_hw):
-            """imgs_u8 [B, H, W, 3]; valid_hw [B, 2].  One forward for every
-            same-bucket image in the call (dense MXU batch instead of B
-            batch-1 convolutions)."""
-            x = imgs_u8.astype(jnp.float32)[..., ::-1]  # BGR (det_processor.rs:268)
+            self._data_sharding = data_sharding(mesh)
+            self._replicated = replicate(mesh)
+            self._data_size = mesh.shape["data"]
+            self._params = jax.device_put(params, self._replicated)
+        else:
+            self._data_sharding = None
+            self._replicated = None
+            self._data_size = 1
+            self._params = jax.device_put(params)
+        self.last_stats: dict[str, Any] = {}
+        self._det_model = det_model
+        self._cls_model = cls_model
+        self._rec_model = rec_model
+        # host thread pools: one streams uploads/dispatches in call order,
+        # one parallelizes decode + contour tracing (the C++ contour call
+        # releases the GIL)
+        self._upload_pool = ThreadPoolExecutor(max_workers=1)
+        self._host_pool = ThreadPoolExecutor(max_workers=4)
+        # device->host fetches are I/O waits over the tunnel; parking them
+        # on threads lets them overlap the main thread's contour tracing
+        self._fetch_pool = ThreadPoolExecutor(max_workers=2)
+        self._build_jits()
+
+    # ------------------------------------------------------------------ #
+    def _build_jits(self) -> None:
+        cfg = self.cfg
+        det_cfg = cfg.det
+        det_model, cls_model, rec_model = (
+            self._det_model,
+            self._cls_model,
+            self._rec_model,
+        )
+        import os
+
+        use_pallas = (
+            self.mesh is None
+            and jax.default_backend() not in ("cpu",)
+            and os.environ.get("RETTO_PALLAS", "1") != "0"
+        )
+
+        def det_fwd(params, planes, valid_src, valid_det, dh, dw, fmt):
+            """planes by ``fmt``: "rgb" (rgb_u8 [B,Hp,Wp,3]), "yuv420"
+            (y [B,Hp,Wp] + uv [B,Hp/2,Wp/2,2]), or "gray" (y [B,Hp,Wp] —
+            auto-detected truly-grayscale inputs, lossless at 1 B/px).
+            Device-side resize_either to the (dh, dw) det canvas, BGR
+            normalize (det_processor.rs:256-274), det forward, fused
+            binarize+dilate+bitpack.  Also returns the session-resolution
+            u8 tensor (kept device-resident for the crop warps; single
+            channel for gray)."""
+            vs = valid_src.astype(jnp.float32)
+            vd = valid_det.astype(jnp.float32)
+            if fmt == "yuv420":
+                y, uv = planes
+                b, hp, wp = y.shape
+                wh = _bilinear_matrix(vs[:, 0], vd[:, 0], hp, dh)
+                ww = _bilinear_matrix(vs[:, 1], vd[:, 1], wp, dw)
+                # chroma is resampled straight from the half-res plane
+                # (YUV->RGB is linear, so it commutes with the resize)
+                wh2 = _bilinear_matrix(vs[:, 0] / 2, vd[:, 0], hp // 2, dh)
+                ww2 = _bilinear_matrix(vs[:, 1] / 2, vd[:, 1], wp // 2, dw)
+                ydet = _resize2(wh, ww, y.astype(jnp.float32)[..., None])[..., 0]
+                uvdet = _resize2(wh2, ww2, uv.astype(jnp.float32))
+                rgb_det = yuv_planes_to_rgb(ydet, uvdet[..., 0], uvdet[..., 1])
+                rgb_full = yuv420_to_rgb_device(y, uv)
+                rgb_u8 = jnp.clip(jnp.rint(rgb_full), 0, 255).astype(jnp.uint8)
+            elif fmt == "gray":
+                (y,) = planes
+                b, hp, wp = y.shape
+                wh = _bilinear_matrix(vs[:, 0], vd[:, 0], hp, dh)
+                ww = _bilinear_matrix(vs[:, 1], vd[:, 1], wp, dw)
+                ydet = _resize2(wh, ww, y.astype(jnp.float32)[..., None])
+                rgb_det = jnp.broadcast_to(ydet, (*ydet.shape[:-1], 3))
+                rgb_u8 = y[..., None]  # crops stay single-channel
+            else:
+                (rgb,) = planes
+                b, hp, wp, _ = rgb.shape
+                wh = _bilinear_matrix(vs[:, 0], vd[:, 0], hp, dh)
+                ww = _bilinear_matrix(vs[:, 1], vd[:, 1], wp, dw)
+                rgb_det = _resize2(wh, ww, rgb.astype(jnp.float32))
+                rgb_u8 = rgb
+            x = rgb_det[..., ::-1]  # BGR (det_processor.rs:268)
             mean = jnp.asarray(det_cfg.mean, jnp.float32)
             std = jnp.asarray(det_cfg.std, jnp.float32)
             x = (x * det_cfg.scale - mean) / std
-            # zero out bucket padding -> normalized black
-            h, w = imgs_u8.shape[1], imgs_u8.shape[2]
-            row = jnp.arange(h)[None, :, None, None]
-            col = jnp.arange(w)[None, None, :, None]
-            inb = (row < valid_hw[:, 0, None, None, None]) & (
-                col < valid_hw[:, 1, None, None, None]
+            row = jnp.arange(dh)[None, :, None, None]
+            col = jnp.arange(dw)[None, None, :, None]
+            inb = (row < valid_det[:, 0, None, None, None]) & (
+                col < valid_det[:, 1, None, None, None]
             )
-            x = jnp.where(inb, x, -1.0)
-            x = jnp.transpose(x, (0, 3, 1, 2))
-            pred = det_model.apply(params, x)
+            x = jnp.where(inb, x, -1.0)  # bucket padding -> normalized black
+            pred = det_model.apply(params, jnp.transpose(x, (0, 3, 1, 2)))
             dilate = det_cfg.use_dilation and det_cfg.dilation_kernel is not None
-            packed = jax.vmap(
-                lambda p: binarize_dilate_packed(p, det_cfg.thresh, dilate)
-            )(pred)
-            # the prob map STAYS on device; candidates are scored there
-            return packed, pred[:, 0]
+            if use_pallas and dh % 64 == 0 and dw % 128 == 0:
+                # fused Pallas binarize+dilate+bitpack (one VMEM pass; row-
+                # packed [B, dh/8, dw] — ops/pallas/db_pack.py)
+                packed = binarize_dilate_pack_rows_batch(
+                    pred[:, 0], det_cfg.thresh, dilate
+                )
+            else:
+                packed = jax.vmap(
+                    lambda p: binarize_dilate_packed(p, det_cfg.thresh, dilate)
+                )(pred)
+            return packed, pred[:, 0], rgb_u8
 
-        self._det_fwd_batch = jax.jit(det_fwd_batch)
+        self._det_fwd = jax.jit(det_fwd, static_argnames=("dh", "dw", "fmt"))
 
         def score_fwd(preds, rows, homogs):
             """Mean probability inside each candidate quad, via a 16x64
@@ -137,7 +288,6 @@ class DevicePipeline:
                 preds[..., None],
                 rows,
                 homogs,
-                # quads never reach outside the map: pass full bounds
                 jnp.tile(
                     jnp.asarray(preds.shape[1:3], jnp.int32)[None],
                     (preds.shape[0], 1),
@@ -150,312 +300,454 @@ class DevicePipeline:
 
         self._score_fwd = jax.jit(score_fwd)
 
-        def warp_norm(imgs_u8, rows, homogs, widths, valid_hw, out_h, out_w):
-            crops = warp_crops_multi(
-                imgs_u8, rows, homogs, valid_hw, out_h, out_w, fill=255.0
-            )
-            x = (crops / 255.0 - 0.5) / 0.5
-            col = jnp.arange(out_w)[None, None, :, None]
-            x = jnp.where(col < widths[:, None, None, None], x, 0.0)
-            return jnp.transpose(x, (0, 3, 1, 2))
+        cls_label = jnp.asarray([int(v) for v in cfg.cls.label], jnp.int32)
+        cls_thresh = float(cfg.cls.thresh)
 
-        def cls_fwd(params, imgs_u8, rows, homogs, widths, valid_hw):
-            _, h, w = config.cls.image_shape
-            x = warp_norm(imgs_u8, rows, homogs, widths, valid_hw, h, w)
-            return cls_model.apply(params, x)
+        def clsrec_fwd(
+            params_cls,
+            params_rec,
+            imgs_u8,
+            rows,
+            cls_homogs,
+            cls_widths,
+            rec_homogs,
+            rot_mats,
+            rec_widths,
+            valid_hw,
+            out_w,
+            use_cls,
+        ):
+            """Fused cls + rec for one rec width bucket.  The cls-driven
+            180-degree rotation (cls_processor.rs:164-166) is realized by
+            composing the rec homography with ``rot_mats`` ON DEVICE, so
+            rec does not wait on a cls round trip."""
+            _, ch, cw = cfg.cls.image_shape
+            _, rh, _ = cfg.rec.image_shape
+            n = rows.shape[0]
 
-        self._cls_fwd = jax.jit(cls_fwd)
+            def to3(x):  # gray chunks warp single-channel crops
+                if x.shape[1] == 3:
+                    return x
+                return jnp.broadcast_to(x, (x.shape[0], 3, *x.shape[2:]))
 
-        def rec_fwd(params, imgs_u8, rows, homogs, widths, valid_hw, out_w):
-            _, h, _ = config.rec.image_shape
-            x = warp_norm(imgs_u8, rows, homogs, widths, valid_hw, h, out_w)
-            probs = rec_model.apply(params, x)
-            return ctc_greedy_decode(probs)
+            if use_cls:
+                xc = to3(_warp_norm(
+                    imgs_u8, rows, cls_homogs, cls_widths, valid_hw, ch, cw
+                ))
+                probs = cls_model.apply(params_cls, xc)
+                idx = jnp.argmax(probs, axis=-1)
+                score = jnp.max(probs, axis=-1)
+                flip = (cls_label[idx] == 180) & (score >= cls_thresh)
+                homogs = jnp.where(
+                    flip[:, None, None], rec_homogs @ rot_mats, rec_homogs
+                )
+            else:
+                probs = jnp.zeros((n, cls_label.shape[0]), jnp.float32)
+                flip = jnp.zeros((n,), bool)
+                homogs = rec_homogs
+            xr = to3(_warp_norm(
+                imgs_u8, rows, homogs, rec_widths, valid_hw, rh, out_w
+            ))
+            rec_probs = rec_model.apply(params_rec, xr)
+            idxs, keep, scores = ctc_greedy_decode(rec_probs)
+            return probs, flip, idxs, keep, scores
 
-        self._rec_fwd = jax.jit(rec_fwd, static_argnames=("out_w",))
+        self._clsrec_fwd = jax.jit(
+            clsrec_fwd, static_argnames=("out_w", "use_cls")
+        )
 
     # ------------------------------------------------------------------ #
     def run(self, data: bytes | np.ndarray) -> OcrResult:
         return self.run_many([data])[0]
 
+    # ------------------------------------------------------------------ #
+    def _decode_one(
+        self, data: bytes | np.ndarray
+    ) -> tuple[_Img, tuple[np.ndarray, ...]]:
+        """Decode + session resize + pad-to-bucket + (optional) YUV pack.
+        Runs on the host pool so the per-image numpy work parallelizes and
+        stays off the upload thread (which must only stack and ship)."""
+        cfg = self.cfg
+        bk = cfg.buckets
+        img = ImageHelper(decode_image(data))
+        ori_h, ori_w = img.size()
+        img.resize_both(cfg.max_side_len, cfg.min_side_len)
+        ah, aw = img.size()
+        rh, rw = det_input_dims(
+            ah, aw, cfg.det.limit_type, cfg.det.limit_side_len,
+            cfg.buckets.det_max_side,
+        )
+        im = _Img(ah, aw, ori_h, ori_w, rh, rw)
+        hp = _bucket_up(ah, bk.upload_pad_to, 1 << 30)
+        wp = _bucket_up(aw, bk.upload_pad_to, 1 << 30)
+        # edge-replicate so 4:2:0 chroma never bleeds padding colors into
+        # the valid region's boundary pixels
+        padded = np.pad(
+            img.img, ((0, hp - ah), (0, wp - aw), (0, 0)), mode="edge"
+        )
+        if self.transfer == "yuv420":
+            # truly grayscale input -> a single luma plane (1 B/px) is a
+            # LOSSLESS transfer (Y of R=G=B=v is v; chroma is constant 128)
+            if (
+                (padded[:, :, 0] == padded[:, :, 1]).all()
+                and (padded[:, :, 1] == padded[:, :, 2]).all()
+            ):
+                im.fmt = "gray"
+                planes = (np.ascontiguousarray(padded[:, :, 0]),)
+            else:
+                im.fmt = "yuv420"
+                planes = rgb_to_yuv420(padded)
+        else:
+            im.fmt = "rgb"
+            planes = (padded,)
+        return im, planes
+
+    def _put(self, arr: np.ndarray, replicated: bool = False):
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        return jax.device_put(
+            arr, self._replicated if replicated else self._data_sharding
+        )
+
+    def _batch_bucket(self, n: int, buckets: Sequence[int]) -> int:
+        nb = _next_bucket(n, buckets)
+        ds = self._data_size
+        return ((nb + ds - 1) // ds) * ds
+
+    def _upload_and_det(
+        self,
+        chunk: _Chunk,
+        imgs: list[_Img],
+        pixels: list[tuple[np.ndarray, ...]],
+    ):
+        """Runs on the upload thread: stack the pre-padded planes, ship,
+        and dispatch the det forward.  Returns device handles (dispatch is
+        async; nothing here blocks on compute)."""
+        hp, wp, dh, dw, fmt = chunk.key
+        nb = self._batch_bucket(len(chunk.idxs), self.cfg.buckets.det_batch_buckets)
+        stats = self.last_stats
+        n_planes = len(pixels[0])
+        planes_np = []
+        for p in range(n_planes):
+            first = pixels[0][p]
+            buf = np.zeros((nb, *first.shape), first.dtype)
+            for k, px in enumerate(pixels):
+                buf[k] = px[p]
+            planes_np.append(buf)
+        planes = tuple(self._put(b) for b in planes_np)
+        valids_src = np.ones((nb, 2), np.int32)
+        valids_det = np.ones((nb, 2), np.int32)
+        for k, im in enumerate(imgs):
+            valids_src[k] = (im.ah, im.aw)
+            valids_det[k] = (im.rh, im.rw)
+        vs = self._put(valids_src)
+        vd = self._put(valids_det)
+        stats["bytes_up"] += sum(int(p.nbytes) for p in planes)
+        stats["dispatches"] += 1
+        packed, pred, rgb = self._det_fwd(
+            self._params["det"], planes, vs, vd, dh=dh, dw=dw, fmt=fmt
+        )
+        if self.mesh is not None:
+            # crop warps gather arbitrary rows -> re-replicate over ICI
+            rgb = jax.device_put(rgb, self._replicated)
+            pred = jax.device_put(pred, self._replicated)
+            mask_fut = self._fetch_pool.submit(np.asarray, packed)
+        else:
+            # the device->host mask copy starts as soon as det finishes and
+            # completes on a fetch thread, overlapping later host work
+            packed.copy_to_host_async()
+            mask_fut = self._fetch_pool.submit(np.asarray, packed)
+        return mask_fut, pred, rgb, vs
+
+    # ------------------------------------------------------------------ #
     def run_many(self, inputs: Sequence[bytes | np.ndarray]) -> list[OcrResult]:
         cfg = self.cfg
-        staged: list[_Staged] = []
+        t0 = time.perf_counter()
+        self.last_stats = {
+            "images": len(inputs), "crops": 0, "chunks": 0,
+            "bytes_up": 0, "bytes_down": 0, "dispatches": 0,
+            "t_decode": 0.0, "t_mask_fetch": 0.0, "t_contours": 0.0,
+            "t_score": 0.0, "t_clsrec_fetch": 0.0, "t_total": 0.0,
+        }
+        stats = self.last_stats
 
-        # ---- phase A: host resize chain, group by det bucket, batched
-        # upload + ONE det forward per bucket group ---------------------- #
-        groups: dict[tuple[int, int], list[tuple[int, np.ndarray]]] = {}
+        # ---- phase 0+1 fused: decode + session resize + pad/pack, and
+        # flush each (upload bucket, det bucket) chunk to the upload thread
+        # the moment it fills — the wire starts moving while later images
+        # are still being decoded (this host has ONE core: host work must
+        # hide under wire/device time, not under other host work) --------- #
+        bk = cfg.buckets
+        imgs: list[_Img] = []
+        pixels: list[tuple[np.ndarray, ...]] = []
+        pending: dict[tuple[int, int, int, int], list[int]] = {}
+        chunks: list[_Chunk] = []
+
+        def flush(key: tuple[int, int, int, int], idxs: list[int]) -> None:
+            ch = _Chunk(key, idxs)
+            for k, i in enumerate(idxs):
+                imgs[i].row = k
+            ch.upload_fut = self._upload_pool.submit(
+                self._upload_and_det,
+                ch,
+                [imgs[i] for i in idxs],
+                [pixels[i] for i in idxs],
+            )
+            chunks.append(ch)
+
+        t = time.perf_counter()
         for data in inputs:
-            img = ImageHelper(decode_image(data))
-            ori_h, ori_w = img.size()
-            img.resize_both(cfg.max_side_len, cfg.min_side_len)
-            ah, aw = img.size()
-            rh, rw = det_input_dims(
-                ah, aw, cfg.det.limit_type, cfg.det.limit_side_len,
-                cfg.buckets.det_max_side,
-            )
-            det_img = (
-                img.img if (rh, rw) == (ah, aw) else _pil_resize(img.img, rw, rh)
-            )
-            bh = _bucket_up(rh, cfg.buckets.det_pad_to, cfg.buckets.det_max_side)
-            bw = _bucket_up(rw, cfg.buckets.det_pad_to, cfg.buckets.det_max_side)
-            padded = np.zeros((bh, bw, 3), np.uint8)
-            padded[:rh, :rw] = det_img
-            st = _Staged(ah, aw, ori_h, ori_w, rh, rw)
-            staged.append(st)
-            groups.setdefault((bh, bw), []).append((len(staged) - 1, padded))
-        self._dev_groups = {}
-        det_handles = {}
-        for key, items in groups.items():
-            bh, bw = key
-            idxs = [i for i, _ in items]
-            batch = np.stack([p for _, p in items])
-            valids = np.asarray(
-                [[staged[i].rh, staged[i].rw] for i in idxs], np.int32
-            )
-            nb = _next_bucket(len(idxs), (1, 2, 4, 8, 16))
-            if nb > len(idxs):
-                pad = nb - len(idxs)
-                batch = np.concatenate([batch, np.zeros((pad, bh, bw, 3), np.uint8)])
-                valids = np.concatenate([valids, np.ones((pad, 2), np.int32)])
-            dev_batch = jnp.asarray(batch)
-            valids_dev = jnp.asarray(valids)
-            packed_b, prob8_b = self._det_fwd_batch(
-                self._params["det"], dev_batch, valids_dev
-            )
-            self._dev_groups[key] = (dev_batch, valids_dev)
-            det_handles[key] = (idxs, packed_b, prob8_b)
-            for k, i in enumerate(idxs):
-                staged[i].group = key
-                staged[i].row = k
+            im, planes = self._decode_one(data)
+            imgs.append(im)
+            pixels.append(planes)
+            i = len(imgs) - 1
+            hp = _bucket_up(im.ah, bk.upload_pad_to, 1 << 30)
+            wp = _bucket_up(im.aw, bk.upload_pad_to, 1 << 30)
+            dh = _bucket_up(im.rh, bk.det_pad_to, bk.det_max_side)
+            dw = _bucket_up(im.rw, bk.det_pad_to, bk.det_max_side)
+            key = (hp, wp, dh, dw, im.fmt)
+            pending.setdefault(key, []).append(i)
+            if len(pending[key]) >= bk.det_chunk:
+                flush(key, pending.pop(key))
+        for key, idxs in pending.items():
+            flush(key, idxs)
+        stats["chunks"] = len(chunks)
+        stats["t_decode"] = time.perf_counter() - t
 
-        # ---- phase B: fetch the 1-bit mask per group (the prob map stays
-        # on device), extract candidates (thread pool — the native C++ call
-        # releases the GIL), score candidates ON DEVICE, finalize ---------- #
-        from concurrent.futures import ThreadPoolExecutor
+        # ---- phase 2+3 pipelined with a one-chunk lag: in iteration i the
+        # PREVIOUS chunk's boxes finalize and its fused cls+rec dispatches
+        # FIRST, so that device work runs while chunk i's mask is fetched
+        # and its contours trace on the host ------------------------------- #
+        score_rect = np.array([[0, 0], [64, 0], [64, 16], [0, 16]], np.float64)
+        stats["t_upload_wait"] = 0.0
+        clsrec_handles: list[tuple[list[_CropTask], Any]] = []
 
-        cand_in: list[tuple[_Staged, np.ndarray, int]] = [None] * len(staged)
-        for key, (idxs, packed_b, _pred_b) in det_handles.items():
-            packed_np = np.asarray(packed_b)  # one transfer per group (1 bit/px)
-            w_full = key[1]  # the group's padded width (packed is W/8 wide)
-            for k, i in enumerate(idxs):
-                cand_in[i] = (staged[i], packed_np[k], w_full)
+        def fetch_mask(ch: _Chunk) -> np.ndarray:
+            t = time.perf_counter()
+            mask_fut, pred, rgb, vs = ch.upload_fut.result()
+            stats["t_upload_wait"] += time.perf_counter() - t
+            ch.pred, ch.rgb, ch.valids_src = pred, rgb, vs
+            t = time.perf_counter()
+            packed_np = mask_fut.result()  # one transfer per chunk (1 bit/px)
+            stats["t_mask_fetch"] += time.perf_counter() - t
+            stats["bytes_down"] += int(packed_np.nbytes)
+            return packed_np
 
-        def _cands(args):
-            st, packed_np, w_full = args
-            mask = unpack_mask(packed_np, w_full)[: st.rh, : st.rw]
-            return det_candidates(mask, cfg.det)
+        def trace_and_score(ch: _Chunk, packed_np: np.ndarray) -> None:
+            t = time.perf_counter()
+            dh_full, w_full = ch.key[2], ch.key[3]
+            row_packed = packed_np.shape[1] != dh_full  # pallas layout
 
-        if len(staged) > 1:
-            with ThreadPoolExecutor(max_workers=min(8, len(staged))) as pool:
-                cands = list(pool.map(_cands, cand_in))
-        else:
-            cands = [_cands(a) for a in cand_in]
+            def _cands(i: int) -> np.ndarray:
+                im = imgs[i]
+                if row_packed:
+                    mask = unpack_rows(packed_np[im.row], im.rh, im.rw)
+                else:
+                    mask = unpack_mask(packed_np[im.row], w_full)[: im.rh, : im.rw]
+                return det_candidates(mask, cfg.det)
 
-        # device scoring: one call per det group over all its candidates
-        score_rect = np.array(
-            [[0, 0], [64, 0], [64, 16], [0, 16]], np.float64
-        )
-        all_scores: list[np.ndarray | None] = [None] * len(staged)
-        for key, (idxs, _packed_b, pred_b) in det_handles.items():
+            if len(ch.idxs) > 1:
+                cands = list(self._host_pool.map(_cands, ch.idxs))
+            else:
+                cands = [_cands(i) for i in ch.idxs]
+            for i, c in zip(ch.idxs, cands):
+                imgs[i].cands = c
+            stats["t_contours"] += time.perf_counter() - t
+
             rows, homogs, owners = [], [], []
-            for k, i in enumerate(idxs):
-                for quad in cands[i]:
+            for i in ch.idxs:
+                im = imgs[i]
+                for quad in im.cands:
                     c = perspective_coeffs(score_rect, quad)
                     homogs.append(
-                        np.array([[c[0], c[1], c[2]], [c[3], c[4], c[5]],
-                                  [c[6], c[7], 1.0]], np.float32)
+                        np.array(
+                            [[c[0], c[1], c[2]], [c[3], c[4], c[5]],
+                             [c[6], c[7], 1.0]],
+                            np.float32,
+                        )
                     )
-                    rows.append(k)
+                    rows.append(im.row)
                     owners.append(i)
-            if not rows:
-                for i in idxs:
-                    all_scores[i] = np.zeros((0,), np.float32)
-                continue
-            m = len(rows)
-            mb = _next_bucket(m, (16, 64, 256, 1024))
-            if mb > m:
-                homogs += [np.eye(3, dtype=np.float32)] * (mb - m)
-                rows += [0] * (mb - m)
-            sc = np.asarray(
-                self._score_fwd(
-                    pred_b,
-                    jnp.asarray(np.asarray(rows, np.int32)),
-                    jnp.asarray(np.stack(homogs)),
+            ch.score_owners = owners
+            ch.score_n = len(rows)
+            if rows:
+                m = len(rows)
+                mb = self._batch_bucket(m, bk.score_buckets)
+                if mb > m:
+                    homogs += [np.eye(3, dtype=np.float32)] * (mb - m)
+                    rows += [0] * (mb - m)
+                stats["dispatches"] += 1
+                handle = self._score_fwd(
+                    ch.pred,
+                    self._put(np.asarray(rows, np.int32)),
+                    self._put(np.stack(homogs)),
                 )
-            )[:m]
-            for i in idxs:
-                own = [j for j, o in enumerate(owners) if o == i]
-                all_scores[i] = sc[own]
+                if self.mesh is None:
+                    handle.copy_to_host_async()
+                ch.score_handle = self._fetch_pool.submit(np.asarray, handle)
 
-        results = [
-            det_finalize(
-                cands[i], all_scores[i], cfg.det, st.rh, st.rw, st.ah, st.aw
-            )
-            for i, st in enumerate(staged)
-        ]
+        def finalize_and_dispatch(ch: _Chunk) -> None:
+            t = time.perf_counter()
+            if ch.score_handle is not None:
+                sc = ch.score_handle.result()[: ch.score_n]
+                stats["bytes_down"] += 4 * ch.score_n
+            else:
+                sc = np.zeros((0,), np.float32)
+            stats["t_score"] += time.perf_counter() - t
+            pos = 0
+            for i in ch.idxs:
+                im = imgs[i]
+                n = len(im.cands)
+                scores_i = sc[pos : pos + n] if n else np.zeros((0,), np.float32)
+                pos += n
+                im.boxes, im.scores = det_finalize(
+                    im.cands, scores_i, cfg.det, im.rh, im.rw, im.ah, im.aw
+                )
+                for j, b in enumerate(im.boxes):
+                    pb = PointBox(b)
+                    w_crop = max(int(max(pb.width_brc(), pb.width_tlc())), 1)
+                    h_crop = max(int(max(pb.height_brc(), pb.height_tlc())), 1)
+                    quad = np.asarray(b, np.float32)
+                    if h_crop / w_crop >= 1.5:
+                        # rot90-CCW crop == sampling with corners
+                        # [tr, br, bl, tl] (image_helper.rs:245-247)
+                        quad = quad[[1, 2, 3, 0]]
+                        h_crop, w_crop = w_crop, h_crop
+                    im.crops.append(_CropTask(i, j, quad, h_crop, w_crop))
+                stats["crops"] += len(im.boxes)
+            chunk_crops = [c for i in ch.idxs for c in imgs[i].crops]
+            if chunk_crops:
+                clsrec_handles.extend(self._dispatch_clsrec(ch, imgs, chunk_crops))
 
-        all_crops: list[_CropTask] = []
-        for i, st in enumerate(staged):
-            boxes, scores = results[i]
-            st.boxes, st.scores = boxes, scores
-            sx, sy = st.rw / st.aw, st.rh / st.ah
-            for j, b in enumerate(boxes):
-                pb = PointBox(b)
-                w_crop = max(int(max(pb.width_brc(), pb.width_tlc())), 1)
-                h_crop = max(int(max(pb.height_brc(), pb.height_tlc())), 1)
-                quad = b * np.asarray([sx, sy], np.float32)
-                if h_crop / w_crop >= 1.5:
-                    # rot90-CCW crop == sampling with corners [tr, br, bl, tl]
-                    # (image_helper.rs:245-247)
-                    quad = quad[[1, 2, 3, 0]]
-                    h_crop, w_crop = w_crop, h_crop
-                all_crops.append(_CropTask(i, j, quad, h_crop, w_crop))
-            st.crops = [c for c in all_crops if c.img_i == i]
+        # per-chunk software pipeline: the previous chunk's cls+rec
+        # dispatch is sandwiched between this chunk's mask fetch and its
+        # host contour work, so the device computes cls+rec(k-1) while the
+        # host traces contours(k)
+        for k, ch in enumerate(chunks):
+            packed_np = fetch_mask(ch)
+            if k > 0:
+                finalize_and_dispatch(chunks[k - 1])
+            trace_and_score(ch, packed_np)
+        if chunks:
+            finalize_and_dispatch(chunks[-1])
 
-        # ---- phase C: cls over all crops (bucketed, cross-image) ------- #
-        if cfg.use_cls and all_crops:
-            self._run_cls(staged, all_crops)
-        # ---- phase D/E: rec over all crops (width buckets) ------------- #
+        # ---- phase 4: fetch cls+rec outputs, assemble.  ONE device_get
+        # over every handle: transfers start async together instead of one
+        # blocking round trip per array (the tunnel RTT is ~50 ms) -------- #
+        t = time.perf_counter()
         rec_texts: dict[tuple[int, int], RecText] = {}
-        if all_crops:
-            rec_texts = self._run_rec(staged, all_crops)
-
-        # ---- assemble -------------------------------------------------- #
-        out: list[OcrResult] = []
-        for i, st in enumerate(staged):
-            boxes_ori = scale_and_clip(
-                st.boxes, st.aw, st.ah, st.ori_w, st.ori_h
+        fetched = jax.device_get([h for _, h in clsrec_handles])
+        for (crops, _), handle in zip(clsrec_handles, fetched):
+            probs, flip, idxs, keep, score = handle
+            n = len(crops)
+            probs = probs[:n]
+            flip = flip[:n]
+            idxs = idxs[:n]
+            keep = keep[:n]
+            score = score[:n]
+            stats["bytes_down"] += (
+                probs.nbytes + flip.nbytes + idxs.nbytes + keep.nbytes + score.nbytes
             )
+            texts = self.chars.decode_indices(idxs, keep)
+            pred = probs.argmax(axis=1) if n else np.zeros((0,), np.int64)
+            for r, c in enumerate(crops):
+                if self.cfg.use_cls:
+                    k = int(pred[r])
+                    c.cls_label = ClsLabel(
+                        label=int(cfg.cls.label[k]), score=float(probs[r, k])
+                    )
+                rec_texts[(c.img_i, c.box_i)] = RecText(
+                    text=texts[r], score=float(score[r])
+                )
+        stats["t_clsrec_fetch"] = time.perf_counter() - t
+
+        out: list[OcrResult] = []
+        for i, im in enumerate(imgs):
+            boxes_ori = scale_and_clip(im.boxes, im.aw, im.ah, im.ori_w, im.ori_h)
             det_res = DetResult(
-                [
-                    DetBox(PointBox(b), float(s))
-                    for b, s in zip(boxes_ori, st.scores)
-                ]
+                [DetBox(PointBox(b), float(s)) for b, s in zip(boxes_ori, im.scores)]
             )
             cls_res = ClsResult(
-                [getattr(c, "cls_label", ClsLabel()) for c in st.crops]
+                [c.cls_label or ClsLabel() for c in im.crops]
                 if cfg.use_cls
                 else []
             )
             rec_res = RecResult(
-                [
-                    rec_texts.get((i, c.box_i), RecText())
-                    for c in st.crops
-                ]
+                [rec_texts.get((i, c.box_i), RecText()) for c in im.crops]
             )
             out.append(OcrResult(det_res, cls_res, rec_res))
+        stats["t_total"] = time.perf_counter() - t0
         return out
 
     # ------------------------------------------------------------------ #
-    def _homog(self, task: _CropTask, content_w: int, content_h: int,
-               rot180: bool = False) -> np.ndarray:
+    def _homog(self, task: _CropTask, content_w: int, content_h: int) -> np.ndarray:
         rect = np.array(
             [[0, 0], [content_w, 0], [content_w, content_h], [0, content_h]],
             np.float64,
         )
-        if rot180:
-            # compose with a 180-degree rotation of the content region
-            rect = rect[[2, 3, 0, 1]]
-        c = perspective_coeffs(rect, task.quad_det)
+        c = perspective_coeffs(rect, task.quad)
         return np.array(
             [[c[0], c[1], c[2]], [c[3], c[4], c[5]], [c[6], c[7], 1.0]],
             np.float32,
         )
 
-    def _run_cls(self, staged: list[_Staged], all_crops: list[_CropTask]) -> None:
+    def _dispatch_clsrec(
+        self, ch: _Chunk, imgs: list[_Img], crops: list[_CropTask]
+    ) -> list[tuple[list[_CropTask], Any]]:
+        """One fused cls+rec dispatch per rec width bucket (async)."""
         cfg = self.cfg
-        _, ch, cw = cfg.cls.image_shape
-        # group crops by det bucket group (the warp samples the group's
-        # stacked tensor by row index -> ONE call per group)
-        by_group: dict[tuple[int, int], list[_CropTask]] = {}
-        for c in all_crops:
-            by_group.setdefault(staged[c.img_i].group, []).append(c)
-        handles = []
-        for key, crops in by_group.items():
-            imgs_dev, valids_dev = self._dev_groups[key]
-            rows = [staged[c.img_i].row for c in crops]
-            widths = [
-                min(cw, int(math.ceil(ch * c.crop_w / c.crop_h))) for c in crops
-            ]
-            homogs = np.stack(
-                [self._homog(c, w, ch) for c, w in zip(crops, widths)]
-            )
-            nb = _next_bucket(len(crops), cfg.buckets.cls_batch_buckets)
-            if nb > len(crops):
-                pad = nb - len(crops)
-                homogs = np.concatenate([homogs, np.tile(np.eye(3, dtype=np.float32)[None], (pad, 1, 1))])
-                widths = widths + [1] * pad
-                rows = rows + [0] * pad
-            probs = self._cls_fwd(
-                self._params["cls"],
-                imgs_dev,
-                jnp.asarray(np.asarray(rows, np.int32)),
-                jnp.asarray(homogs),
-                jnp.asarray(np.asarray(widths, np.int32)),
-                valids_dev,
-            )
-            handles.append((crops, probs))
-        for crops, probs in handles:
-            p = np.asarray(probs)[: len(crops)]
-            pred = p.argmax(axis=1)
-            for row, c in enumerate(crops):
-                cls_idx = int(pred[row])
-                score = float(p[row, cls_idx])
-                label = int(cfg.cls.label[cls_idx])
-                if label == 180 and score >= cfg.cls.thresh:
-                    c.rotated180 = True
-                c.cls_label = ClsLabel(label=label, score=score)
-
-    def _run_rec(
-        self, staged: list[_Staged], all_crops: list[_CropTask]
-    ) -> dict[tuple[int, int], RecText]:
-        cfg = self.cfg
+        bk = cfg.buckets
+        _, ch_h, cw = cfg.cls.image_shape
         _, rh, rw_default = cfg.rec.image_shape
-        # bucket by (det group, padded width): one call per combination
-        groups: dict[tuple[tuple[int, int], int], list[tuple[_CropTask, int]]] = {}
-        for c in all_crops:
+        by_width: dict[int, list[tuple[_CropTask, int]]] = {}
+        for c in crops:
             natural = int(math.ceil(rh * c.crop_w / c.crop_h))
-            bw = _next_bucket(
-                max(natural, rw_default), cfg.buckets.rec_width_buckets
-            )
-            key = staged[c.img_i].group
-            groups.setdefault((key, bw), []).append((c, min(natural, bw)))
+            bw = _next_bucket(max(natural, rw_default), bk.rec_width_buckets)
+            by_width.setdefault(bw, []).append((c, min(natural, bw)))
         handles = []
-        for (key, bw), items in sorted(groups.items()):
-            imgs_dev, valids_dev = self._dev_groups[key]
-            crops = [c for c, _ in items]
-            rows = [staged[c.img_i].row for c in crops]
-            widths = [w for _, w in items]
-            homogs = np.stack(
-                [
-                    self._homog(c, w, rh, rot180=c.rotated180)
-                    for (c, w) in items
-                ]
+        for bw, items in sorted(by_width.items()):
+            cs = [c for c, _ in items]
+            rows = [imgs[c.img_i].row for c in cs]
+            rec_widths = [w for _, w in items]
+            cls_widths = [
+                min(cw, int(math.ceil(ch_h * c.crop_w / c.crop_h))) for c in cs
+            ]
+            cls_homogs = np.stack(
+                [self._homog(c, w, ch_h) for c, w in zip(cs, cls_widths)]
             )
-            nb = _next_bucket(len(crops), cfg.buckets.rec_batch_buckets)
-            if nb > len(crops):
-                pad = nb - len(crops)
-                homogs = np.concatenate([homogs, np.tile(np.eye(3, dtype=np.float32)[None], (pad, 1, 1))])
-                widths = widths + [1] * pad
+            rec_homogs = np.stack(
+                [self._homog(c, w, rh) for c, w in zip(cs, rec_widths)]
+            )
+            # 180-degree flip of the [0,w]x[0,rh] content region, composed
+            # on device when cls says so: R = [[-1,0,w],[0,-1,rh],[0,0,1]]
+            rot = np.tile(np.eye(3, dtype=np.float32)[None], (len(cs), 1, 1))
+            rot[:, 0, 0] = -1.0
+            rot[:, 1, 1] = -1.0
+            rot[:, 0, 2] = np.asarray(rec_widths, np.float32)
+            rot[:, 1, 2] = float(rh)
+            nb = self._batch_bucket(len(cs), bk.rec_batch_buckets)
+            if nb > len(cs):
+                pad = nb - len(cs)
+                eye = np.tile(np.eye(3, dtype=np.float32)[None], (pad, 1, 1))
+                cls_homogs = np.concatenate([cls_homogs, eye])
+                rec_homogs = np.concatenate([rec_homogs, eye])
+                rot = np.concatenate([rot, eye])
+                rec_widths = rec_widths + [1] * pad
+                cls_widths = cls_widths + [1] * pad
                 rows = rows + [0] * pad
-            idx, keep, score = self._rec_fwd(
+            self.last_stats["dispatches"] += 1
+            handle = self._clsrec_fwd(
+                self._params["cls"],
                 self._params["rec"],
-                imgs_dev,
-                jnp.asarray(np.asarray(rows, np.int32)),
-                jnp.asarray(homogs),
-                jnp.asarray(np.asarray(widths, np.int32)),
-                valids_dev,
+                ch.rgb,
+                self._put(np.asarray(rows, np.int32)),
+                self._put(cls_homogs),
+                self._put(np.asarray(cls_widths, np.int32)),
+                self._put(rec_homogs),
+                self._put(rot),
+                self._put(np.asarray(rec_widths, np.int32)),
+                ch.valids_src,
                 out_w=bw,
+                use_cls=bool(cfg.use_cls),
             )
-            handles.append((crops, idx, keep, score))
-        out: dict[tuple[int, int], RecText] = {}
-        for crops, idx, keep, score in handles:
-            n = len(crops)
-            texts = self.chars.decode_indices(
-                np.asarray(idx)[:n], np.asarray(keep)[:n]
-            )
-            scores = np.asarray(score)[:n]
-            for c, t, s in zip(crops, texts, scores):
-                out[(c.img_i, c.box_i)] = RecText(text=t, score=float(s))
-        return out
+            handles.append((cs, handle))
+        return handles

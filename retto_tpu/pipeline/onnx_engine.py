@@ -21,7 +21,7 @@ from typing import Any
 import jax
 
 from ..errors import ModelNotFoundError
-from ..weights.onnx_bridge import OnnxFunction, build_fn
+from ..weights.onnx_bridge import build_fn
 
 __all__ = ["OnnxEngine", "resolve_model_source"]
 

@@ -57,6 +57,7 @@ class RettoSession:
         self._models: dict[str, Any] | None = None
         self._params: dict[str, Any] | None = None
         self._device_pipeline = None
+        self._mesh = mesh
         self.engine = engine or self._build_engine(preset, weights, mesh)
         cfg = self.config
         self._det = DetStage(cfg.det, cfg.buckets)
@@ -89,6 +90,7 @@ class RettoSession:
                 self._params,
                 self.config,
                 self.chars,
+                mesh=self._mesh,
             )
         return self._device_pipeline
 

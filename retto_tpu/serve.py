@@ -1,4 +1,4 @@
-"""HTTP serving front end with per-stage streaming.
+"""HTTP serving front end with per-stage streaming and micro-batching.
 
 Fills the slot of the reference's wasm/TS binding (retto-wasm/src +
 fe/index.ts — SURVEY.md §2 rows 16-17: browser target out of scope, a
@@ -6,27 +6,114 @@ serve-style streaming API covers the use case).  The wire contract is the
 TS wrapper's: per-stage events ``{"stage": "det"|"cls"|"rec", "result":
 ...}`` (fe/index.ts:44-56), streamed as NDJSON.
 
+Concurrency model (BASELINE.json config 5 shape): concurrent ``/ocr``
+requests are gathered by a micro-batching queue and executed as ONE
+``DevicePipeline.run_many`` call (dense cross-image bucketed batches on
+the TPU) instead of serializing whole pipelines behind a lock.  Streaming
+requests keep the staged path (stage events need per-stage boundaries).
+
 Endpoints (stdlib http.server; no extra deps):
     POST /ocr         -> full OcrResult JSON
     POST /ocr/stream  -> NDJSON stage events (det, cls, rec)
     GET  /healthz     -> {"ok": true}
+    GET  /metrics     -> micro-batcher + pipeline counters
 """
 
 from __future__ import annotations
 
 import json
 import logging
+import queue
 import threading
+import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .errors import RettoError
 
 logger = logging.getLogger("retto_tpu.serve")
 
-__all__ = ["make_server", "serve"]
+__all__ = ["MicroBatcher", "make_server", "serve"]
 
 
-def make_handler(session, lock: threading.Lock):
+class MicroBatcher:
+    """Gathers concurrent requests into one ``run_many`` call.
+
+    A request waits at most ``max_wait_ms`` for co-riders; a full batch
+    dispatches immediately.  Per-image failures resolve only that image's
+    future (failure isolation — SURVEY.md §5): on a batch error the batch
+    is retried image-by-image.
+    """
+
+    def __init__(self, runner, max_batch: int = 16, max_wait_ms: float = 5.0):
+        self.runner = runner
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.queue: queue.Queue = queue.Queue()
+        self.batches = 0
+        self.images = 0
+        self._stopped = False
+        self._thread = threading.Thread(
+            target=self._loop, name="retto-microbatch", daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, data: bytes) -> Future:
+        fut: Future = Future()
+        self.queue.put((data, fut))
+        return fut
+
+    def stop(self) -> None:
+        self._stopped = True
+        self.queue.put(None)
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------ #
+    def _collect(self) -> list[tuple[bytes, Future]]:
+        item = self.queue.get()
+        if item is None:
+            return []
+        batch = [item]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self.queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stopped:
+            batch = self._collect()
+            if not batch:
+                continue
+            self.batches += 1
+            self.images += len(batch)
+            datas = [d for d, _ in batch]
+            try:
+                results = self.runner.run_many(datas)
+                for (_, fut), res in zip(batch, results):
+                    # session.run_many isolates failures as exception
+                    # objects in the result slots (session.py run_many)
+                    if isinstance(res, Exception):
+                        fut.set_exception(res)
+                    else:
+                        fut.set_result(res)
+            except Exception:  # noqa: BLE001 - isolate per image
+                for d, fut in batch:
+                    try:
+                        fut.set_result(self.runner.run(d))
+                    except Exception as e:  # noqa: BLE001
+                        fut.set_exception(e)
+
+
+def make_handler(session, batcher: MicroBatcher, stream_lock: threading.Lock):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through logging
             logger.debug(fmt, *args)
@@ -41,6 +128,16 @@ def make_handler(session, lock: threading.Lock):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, b'{"ok": true}')
+            elif self.path == "/metrics":
+                doc = {
+                    "batches": batcher.batches,
+                    "images": batcher.images,
+                    "avg_batch": round(
+                        batcher.images / batcher.batches, 2
+                    ) if batcher.batches else 0.0,
+                    "session": session.metrics.summary(),
+                }
+                self._send(200, json.dumps(doc).encode("utf-8"))
             else:
                 self._send(404, b'{"error": "not found"}')
 
@@ -52,11 +149,8 @@ def make_handler(session, lock: threading.Lock):
                 return
             try:
                 if self.path == "/ocr":
-                    with lock:  # jit caches are not re-entrant-safe per shape
-                        res = session.run(data)
-                    self._send(
-                        200, res.to_json().encode("utf-8")
-                    )
+                    res = batcher.submit(data).result()
+                    self._send(200, res.to_json().encode("utf-8"))
                 elif self.path == "/ocr/stream":
                     self.send_response(200)
                     self.send_header("Content-Type", "application/x-ndjson")
@@ -69,7 +163,9 @@ def make_handler(session, lock: threading.Lock):
                         self.wfile.write(line.encode("utf-8"))
                         self.wfile.flush()
 
-                    with lock:
+                    # stage streaming rides the staged path; serialize so
+                    # session.metrics stays consistent
+                    with stream_lock:
                         session.run_stream(data, cb)
                 else:
                     self._send(404, b'{"error": "not found"}')
@@ -87,13 +183,41 @@ def make_handler(session, lock: threading.Lock):
     return Handler
 
 
-def make_server(session, host: str = "127.0.0.1", port: int = 8471):
-    lock = threading.Lock()
-    return ThreadingHTTPServer((host, port), make_handler(session, lock))
+class _Server(ThreadingHTTPServer):
+    batcher: MicroBatcher | None = None
+
+    def server_close(self):
+        if self.batcher is not None:
+            self.batcher.stop()
+        super().server_close()
 
 
-def serve(session, host: str = "127.0.0.1", port: int = 8471) -> None:
-    srv = make_server(session, host, port)
+def make_server(
+    session,
+    host: str = "127.0.0.1",
+    port: int = 8471,
+    max_batch: int = 16,
+    max_wait_ms: float = 5.0,
+    use_device_pipeline: bool = True,
+):
+    """Build the HTTP server.  ``use_device_pipeline`` routes /ocr through
+    the fused fast path when the session has real models; the staged
+    session is the fallback runner (and always serves /ocr/stream)."""
+    runner = session
+    if use_device_pipeline:
+        try:
+            runner = session.device_pipeline()
+        except RettoError:
+            logger.warning("serve: no device pipeline (custom engine); "
+                           "micro-batching over the staged session")
+    batcher = MicroBatcher(runner, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    srv = _Server((host, port), make_handler(session, batcher, threading.Lock()))
+    srv.batcher = batcher
+    return srv
+
+
+def serve(session, host: str = "127.0.0.1", port: int = 8471, **kw) -> None:
+    srv = make_server(session, host, port, **kw)
     logger.info("retto serving on %s:%d", host, port)
     try:
         srv.serve_forever()

@@ -10,10 +10,6 @@ orbax; ``latest_step``/``restore`` resume interrupted runs.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any
-
-import jax
-
 from .trainer import TrainState
 
 __all__ = ["CheckpointManager"]

@@ -147,3 +147,32 @@ def test_device_pipeline_matches_staged(session_nocls):
     f_txt = fused.rec_result[0].text
     assert similarity(s_txt, f_txt) >= 0.85, (s_txt, f_txt)
     assert similarity(s_txt, text) >= 0.85, s_txt
+
+
+def test_device_pipeline_yuv420_transfer(session_nocls):
+    """yuv420 transfer (image/yuv.py) must not change the read text —
+    rendered text is luma-dominant, and JPEG sources are 4:2:0 anyway."""
+    from retto_tpu import RettoSession, SessionConfig
+    from retto_tpu.ops.charset import CharacterDict
+
+    text = "Chroma Safe 42"
+    img = render(text)
+    base = session_nocls.device_pipeline().run(img)
+
+    chars = CharacterDict(
+        (WEIGHTS / "charset.txt").read_text(encoding="utf-8").splitlines()
+    )
+    cfg = SessionConfig(use_cls=False)
+    cfg.engine.transfer_format = "yuv420"
+    s_yuv = RettoSession(
+        cfg,
+        preset="mobile",
+        charset=chars,
+        weights={k: str(WEIGHTS / f"{k}.npz") for k in ("det", "cls", "rec")},
+    )
+    got = s_yuv.device_pipeline().run(img)
+    assert len(got.det_result) == len(base.det_result) == 1
+    np.testing.assert_allclose(
+        got.det_result[0].box.pts, base.det_result[0].box.pts, atol=4
+    )
+    assert got.rec_result[0].text == base.rec_result[0].text

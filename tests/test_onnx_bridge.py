@@ -273,3 +273,121 @@ class TestMatchesOwnModels:
         )
         e = np.exp(n - n.max(-1, keepdims=True))
         np.testing.assert_allclose(got, e / e.sum(-1, keepdims=True), atol=1e-4)
+
+
+class TestPaddleExportReplica:
+    """Faithful offline replica of the PP-OCR Paddle->ONNX export idioms
+    (VERDICT r1 item 2): one composite graph chaining a PP-LCNet-style
+    fused-conv-bn block (Conv carries the folded BN bias), the exporter's
+    HardSigmoid(alpha=0.2)-based HardSwish *decomposition*, an SE-style
+    squeeze-excite with the Paddle Clip(0, 1) hard-sigmoid variant, a
+    Shape->Gather->Unsqueeze->Concat->Reshape dynamic flatten, and an
+    SVTR-style single-head attention + CTC projection.  Checked against
+    NumPy end to end."""
+
+    def test_composite_ppocr_block(self):
+        rng = np.random.default_rng(7)
+        n, c, h, w = 1, 4, 8, 16
+        x = rng.normal(size=(n, c, h, w)).astype(np.float32)
+        # fused conv-bn: weights pre-folded, bias present (paddle2onnx folds
+        # BN into Conv B when exporting inference models)
+        wc = (rng.normal(size=(8, c, 3, 3)) * 0.2).astype(np.float32)
+        bc = rng.normal(size=(8,)).astype(np.float32) * 0.1
+        # SE block weights (1x1 convs)
+        w_se1 = (rng.normal(size=(2, 8, 1, 1)) * 0.3).astype(np.float32)
+        b_se1 = np.zeros((2,), np.float32)
+        w_se2 = (rng.normal(size=(8, 2, 1, 1)) * 0.3).astype(np.float32)
+        b_se2 = np.zeros((8,), np.float32)
+        # attention qkv + out + ctc head
+        d = 8 * h  # channels*height after flatten -> [N, W, C*H]
+        wq = (rng.normal(size=(d, d)) * 0.1).astype(np.float32)
+        wk = (rng.normal(size=(d, d)) * 0.1).astype(np.float32)
+        wv = (rng.normal(size=(d, d)) * 0.1).astype(np.float32)
+        wo = (rng.normal(size=(d, 10)) * 0.1).astype(np.float32)
+
+        nodes = [
+            encode_node("Conv", ["x", "wc", "bc"], ["c1"],
+                        strides=[1, 1], pads=[1, 1, 1, 1]),
+            # paddle2onnx HardSwish decomposition:
+            # y = x * HardSigmoid(x; alpha=1/6, beta=0.5)
+            encode_node("HardSigmoid", ["c1"], ["hs"],
+                        alpha=1.0 / 6.0, beta=0.5),
+            encode_node("Mul", ["c1", "hs"], ["a1"]),
+            # SE: GAP -> 1x1 conv -> Relu -> 1x1 conv -> Clip(0,1) -> Mul
+            encode_node("GlobalAveragePool", ["a1"], ["gap"]),
+            encode_node("Conv", ["gap", "w_se1", "b_se1"], ["se1"]),
+            encode_node("Relu", ["se1"], ["se1r"]),
+            encode_node("Conv", ["se1r", "w_se2", "b_se2"], ["se2"]),
+            # Paddle hard_sigmoid exports as Clip((x + 3)/6 ... ) variants;
+            # the mobile nets use plain Clip(x, 0, 1) after a scale
+            encode_node("Clip", ["se2", "clip_lo", "clip_hi"], ["gate"]),
+            encode_node("Mul", ["a1", "gate"], ["a2"]),
+            # dynamic flatten: [N, C, H, W] -> [N, W, C*H]
+            encode_node("Transpose", ["a2"], ["t"], perm=[0, 3, 1, 2]),
+            encode_node("Shape", ["t"], ["sh"]),
+            encode_node("Gather", ["sh", "i0"], ["d0"], axis=0),
+            encode_node("Gather", ["sh", "i1"], ["d1"], axis=0),
+            encode_node("Unsqueeze", ["d0"], ["d0u"], axes=[0]),
+            encode_node("Unsqueeze", ["d1"], ["d1u"], axes=[0]),
+            encode_node("Concat", ["d0u", "d1u", "minus1"], ["tgt"], axis=0),
+            encode_node("Reshape", ["t", "tgt"], ["seq"]),
+            # single-head attention
+            encode_node("MatMul", ["seq", "wq"], ["q"]),
+            encode_node("MatMul", ["seq", "wk"], ["k"]),
+            encode_node("MatMul", ["seq", "wv"], ["v"]),
+            encode_node("Transpose", ["k"], ["kT"], perm=[0, 2, 1]),
+            encode_node("MatMul", ["q", "kT"], ["qk"]),
+            encode_node("Mul", ["qk", "scale"], ["qks"]),
+            encode_node("Softmax", ["qks"], ["attn"], axis=-1),
+            encode_node("MatMul", ["attn", "v"], ["ctx"]),
+            encode_node("Add", ["seq", "ctx"], ["res"]),
+            # CTC projection + softmax over classes
+            encode_node("MatMul", ["res", "wo"], ["logits"]),
+            encode_node("Softmax", ["logits"], ["y"], axis=-1),
+        ]
+        m = encode_model(
+            nodes,
+            {
+                "wc": wc, "bc": bc,
+                "w_se1": w_se1, "b_se1": b_se1,
+                "w_se2": w_se2, "b_se2": b_se2,
+                "clip_lo": np.asarray(0.0, np.float32),
+                "clip_hi": np.asarray(1.0, np.float32),
+                "i0": np.asarray(0, np.int64),
+                "i1": np.asarray(1, np.int64),
+                "minus1": np.asarray([-1], np.int64),
+                "wq": wq, "wk": wk, "wv": wv, "wo": wo,
+                "scale": np.asarray(1.0 / np.sqrt(d), np.float32),
+            },
+            {"x": [n, c, h, w]},
+            {"y": [n, w, 10]},
+        )
+        got = run_model(m, x)
+
+        # ---- NumPy reference ----------------------------------------- #
+        from scipy.signal import correlate
+
+        xp = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        c1 = np.zeros((n, 8, h, w), np.float32)
+        for o in range(8):
+            acc = np.zeros((h, w))
+            for ci in range(c):
+                acc += correlate(xp[0, ci], wc[o, ci], mode="valid")
+            c1[0, o] = acc + bc[o]
+        a1 = c1 * np.clip(c1 / 6.0 + 0.5, 0, 1)
+        gap = a1.mean(axis=(2, 3), keepdims=True)
+        se1 = np.maximum(
+            np.einsum("nchw,oc->nohw", gap, w_se1[:, :, 0, 0]), 0
+        )
+        se2 = np.einsum("nchw,oc->nohw", se1, w_se2[:, :, 0, 0])
+        a2 = a1 * np.clip(se2, 0, 1)
+        seq = a2.transpose(0, 3, 1, 2).reshape(n, w, -1)
+        q, k, v = seq @ wq, seq @ wk, seq @ wv
+        qk = (q @ k.transpose(0, 2, 1)) / np.sqrt(d)
+        e = np.exp(qk - qk.max(-1, keepdims=True))
+        attn = e / e.sum(-1, keepdims=True)
+        res = seq + attn @ v
+        logits = res @ wo
+        ez = np.exp(logits - logits.max(-1, keepdims=True))
+        ref = ez / ez.sum(-1, keepdims=True)
+        np.testing.assert_allclose(got, ref, atol=2e-4)

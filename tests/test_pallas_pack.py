@@ -1,6 +1,8 @@
 """Pallas fused binarize+dilate+pack kernel vs the jnp reference
 (interpreter mode on CPU; the same code compiles on TPU)."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -42,3 +44,51 @@ def test_nchw_input_accepted():
     packed = binarize_dilate_pack_rows(jnp.asarray(pred), 0.3, True, interpret=True)
     got = unpack_rows(packed, 64, 128)
     assert got[10, 10]
+
+
+def test_batched_matches_jnp_interpret():
+    import jax.numpy as jnp
+
+    from retto_tpu.ops.db_post import binarize_dilate
+    from retto_tpu.ops.pallas.db_pack import (
+        binarize_dilate_pack_rows_batch,
+        unpack_rows,
+    )
+
+    rng = np.random.default_rng(3)
+    pred = rng.uniform(0, 1, (3, 128, 256)).astype(np.float32)
+    packed = binarize_dilate_pack_rows_batch(
+        jnp.asarray(pred), 0.3, True, interpret=True
+    )
+    assert packed.shape == (3, 16, 256)
+    for b in range(3):
+        ref = np.asarray(binarize_dilate(jnp.asarray(pred[b]), 0.3, True))
+        got = unpack_rows(np.asarray(packed)[b], 128, 256)
+        np.testing.assert_array_equal(got, ref.astype(bool))
+
+
+@pytest.mark.skipif(
+    os.environ.get("RETTO_TEST_TPU") != "1",
+    reason="real-TPU parity test (set RETTO_TEST_TPU=1)",
+)
+def test_batched_real_tpu_parity():
+    """Compiled (non-interpreter) kernel parity on the actual chip."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "")  # undo the conftest CPU repin
+    from retto_tpu.ops.db_post import binarize_dilate
+    from retto_tpu.ops.pallas.db_pack import (
+        binarize_dilate_pack_rows_batch,
+        unpack_rows,
+    )
+
+    rng = np.random.default_rng(4)
+    pred = rng.uniform(0, 1, (2, 256, 384)).astype(np.float32)
+    packed = np.asarray(
+        binarize_dilate_pack_rows_batch(jnp.asarray(pred), 0.3, True)
+    )
+    for b in range(2):
+        ref = np.asarray(binarize_dilate(jnp.asarray(pred[b]), 0.3, True))
+        got = unpack_rows(packed[b], 256, 384)
+        np.testing.assert_array_equal(got, ref.astype(bool))

@@ -1,0 +1,104 @@
+"""Reference-parity harness tests (tools/parity.py; VERDICT r1 item 2).
+
+The metric/corpus machinery is tested offline; the actual 0.999-text-match
+check against the reference's PP-OCRv4 ONNX models runs only when the four
+artifacts are present (tools/fetch_ppocr.py — network-gated; set
+RETTO_PPOCR_DIR or use ./ppocr_v4)."""
+
+import importlib.util
+import json
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+MODELS_DIR = Path(os.environ.get("RETTO_PPOCR_DIR", REPO / "ppocr_v4"))
+ARTIFACTS = [
+    "ch_PP-OCRv4_det_infer.onnx",
+    "ch_PP-OCRv4_rec_infer.onnx",
+    "ch_ppocr_mobile_v2.0_cls_infer.onnx",
+    "ppocr_keys_v1.txt",
+]
+HAVE_MODELS = all((MODELS_DIR / a).exists() for a in ARTIFACTS)
+
+
+def _load_parity():
+    spec = importlib.util.spec_from_file_location(
+        "parity", REPO / "tools" / "parity.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["parity"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+parity = _load_parity()
+
+
+class TestHarnessOffline:
+    def test_corpus_renders_deterministically(self):
+        import numpy as np
+
+        for spec in parity.CORPUS:
+            a = parity.render_case(spec)
+            b = parity.render_case(spec)
+            assert a.shape == (spec["size"][1], spec["size"][0], 3)
+            np.testing.assert_array_equal(a, b)
+
+    def test_compare_exact_match(self):
+        case = {
+            "name": "x", "image": "x.png",
+            "boxes": [[[0, 0], [10, 0], [10, 5], [0, 5]]],
+            "det_scores": [0.9], "cls_labels": [0], "cls_scores": [0.99],
+            "texts": ["hello"], "rec_scores": [0.95],
+        }
+        rep = parity.compare([case], [json.loads(json.dumps(case))])
+        assert rep["text_match"] == 1.0
+        assert rep["box_match_10px"] == 1.0
+        assert rep["cls_match"] == 1.0
+
+    def test_compare_detects_mismatch(self):
+        ref = {
+            "name": "x", "image": "x.png",
+            "boxes": [[[0, 0], [10, 0], [10, 5], [0, 5]]],
+            "det_scores": [0.9], "cls_labels": [0], "cls_scores": [0.99],
+            "texts": ["hello", "world"], "rec_scores": [0.95, 0.9],
+        }
+        got = json.loads(json.dumps(ref))
+        got["texts"] = ["hello", "wrold"]
+        got["boxes"] = [[[0, 20], [10, 20], [10, 45], [0, 45]]]
+        rep = parity.compare([ref], [got])
+        assert rep["text_match"] == 0.5
+        assert rep["box_match_10px"] == 0.0
+
+    def test_missing_case_counts_as_miss(self):
+        ref = {
+            "name": "gone", "image": "gone.png", "boxes": [], "det_scores": [],
+            "cls_labels": [], "cls_scores": [], "texts": ["a"],
+            "rec_scores": [1.0],
+        }
+        rep = parity.compare([ref], [])
+        assert rep["text_match"] == 0.0
+        assert rep["per_case"]["gone"] == "MISSING"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not HAVE_MODELS, reason="PP-OCRv4 artifacts not present")
+class TestReferenceModels:
+    def test_record_then_check_self_consistent(self, tmp_path):
+        session = parity.build_session(MODELS_DIR)
+        results = parity.run_corpus(session)
+        assert any(r["texts"] for r in results)
+        rep = parity.compare(results, parity.run_corpus(session))
+        assert rep["text_match"] >= 0.999
+
+    def test_against_recorded_goldens(self):
+        goldens = REPO / "parity_goldens.json"
+        if not goldens.exists():
+            pytest.skip("no recorded goldens (tools/parity.py record)")
+        doc = json.loads(goldens.read_text())
+        session = parity.build_session(MODELS_DIR)
+        rep = parity.compare(doc["cases"], parity.run_corpus(session))
+        assert rep["text_match"] >= 0.999, rep

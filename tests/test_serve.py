@@ -86,3 +86,75 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(f"{server}/nope", timeout=30)
     assert ei.value.code == 404
+
+
+def test_metrics_endpoint(server):
+    with urllib.request.urlopen(f"{server}/metrics", timeout=30) as r:
+        body = json.loads(r.read())
+    assert "batches" in body and "images" in body
+
+
+def test_concurrent_requests_micro_batch(server):
+    """Concurrent /ocr posts must all succeed and get gathered into fewer
+    run_many batches than requests (BASELINE config 5 serving shape)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    payload = png_bytes()
+
+    def post(_):
+        req = urllib.request.Request(
+            f"{server}/ocr", data=payload, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=180) as r:
+            return json.loads(r.read())
+
+    with ThreadPoolExecutor(8) as pool:
+        results = list(pool.map(post, range(8)))
+    assert all(r["rec_result"][0]["text"] == "ab" for r in results)
+
+
+def test_microbatcher_gathers():
+    """Direct MicroBatcher test: slow runner + burst -> one batch."""
+    import time as _time
+
+    from retto_tpu.serve import MicroBatcher
+
+    calls = []
+
+    class Runner:
+        def run_many(self, datas):
+            calls.append(len(datas))
+            _time.sleep(0.05)
+            return [f"r{i}" for i in range(len(datas))]
+
+        def run(self, d):
+            return "single"
+
+    b = MicroBatcher(Runner(), max_batch=8, max_wait_ms=40.0)
+    futs = [b.submit(bytes([i])) for i in range(8)]
+    out = [f.result(timeout=5) for f in futs]
+    assert len(out) == 8
+    b.stop()
+    assert sum(calls) == 8
+    assert len(calls) <= 3  # gathered, not 8 singleton batches
+
+
+def test_microbatcher_isolates_failures():
+    from retto_tpu.serve import MicroBatcher
+
+    class Runner:
+        def run_many(self, datas):
+            raise RuntimeError("batch boom")
+
+        def run(self, d):
+            if d == b"bad":
+                raise ValueError("bad image")
+            return "ok"
+
+    b = MicroBatcher(Runner(), max_batch=4, max_wait_ms=30.0)
+    f1 = b.submit(b"good")
+    f2 = b.submit(b"bad")
+    assert f1.result(timeout=5) == "ok"
+    with pytest.raises(ValueError):
+        f2.result(timeout=5)
+    b.stop()

@@ -5,10 +5,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-import pytest
 
 from retto_tpu.models import build_cls, build_rec
-from retto_tpu.ops.charset import CharacterDict, ascii_charset
+from retto_tpu.ops.charset import CharacterDict
 from retto_tpu.train.losses import cls_loss, ctc_loss, db_loss
 from retto_tpu.train.synth import (
     db_ground_truth,

@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Reference-parity harness (VERDICT r1 item 2).
+
+One command that, given the reference's four PP-OCRv4 artifacts
+(build.rs:7-12: ch_PP-OCRv4_{det,rec}_infer.onnx,
+ch_ppocr_mobile_v2.0_cls_infer.onnx, ppocr_keys_v1.txt), runs the full
+pipeline over a deterministic rendered corpus and prints the match rate
+against recorded reference outputs.
+
+Goldens format (``goldens.json``)::
+
+    {"version": 1,
+     "producer": "retto-tpu onnx-bridge" | "retto (rust reference)",
+     "cases": [{"name": str, "image": "<name>.png",
+                "boxes": [[[x, y] * 4]], "det_scores": [float],
+                "cls_labels": [int], "cls_scores": [float],
+                "texts": [str], "rec_scores": [float]}]}
+
+The canonical goldens are the RUST reference's outputs: run
+``retto-cli`` over ``python tools/parity.py corpus --out DIR`` images and
+convert its JSON to this schema.  Until that is possible in this offline
+environment, ``record`` snapshots the outputs of the reference's own ONNX
+models executed through the pure-Python bridge (weights/onnx_bridge.py) —
+the same weights the reference runs, so text output differences can come
+only from pre/postprocessing, which is exactly what ``check`` regresses.
+
+Usage:
+    python tools/parity.py corpus --out corpus_dir
+    python tools/parity.py record --models ppocr_v4 --out goldens.json
+    python tools/parity.py check  --models ppocr_v4 --goldens goldens.json
+
+``check`` exits 0 iff text match rate >= 0.999 (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+
+# deterministic corpus: text content, image size, font size, position,
+# whether the whole image is rotated 180 degrees (exercises cls), mirroring
+# the reference's own e2e fixtures (session.rs:186-255)
+CORPUS = [
+    {"name": "single_line", "lines": ["Hello World 123"], "size": (640, 200),
+     "font": 44, "rot180": False},
+    {"name": "rotated_line", "lines": ["Turn Me Around 42"], "size": (640, 200),
+     "font": 44, "rot180": True},
+    {"name": "receipt", "lines": ["ACME STORE", "2x Widget  9.98",
+                                  "1x Gadget  24.50", "TOTAL   34.48"],
+     "size": (480, 400), "font": 32, "rot180": False},
+    {"name": "multiline", "lines": ["happy dog", "quick brown fox",
+                                    "jumping high"],
+     "size": (720, 360), "font": 40, "rot180": False},
+    {"name": "digits", "lines": ["0123456789"], "size": (520, 160),
+     "font": 48, "rot180": False},
+    {"name": "large_page", "lines": ["Large Page Heading",
+                                     "body text line one",
+                                     "body text line two"],
+     "size": (1800, 1200), "font": 72, "rot180": False},
+]
+
+
+def render_case(spec: dict) -> np.ndarray:
+    from PIL import Image, ImageDraw, ImageFont
+
+    w, h = spec["size"]
+    font = ImageFont.truetype(FONT, spec["font"])
+    img = Image.new("RGB", (w, h), (255, 255, 255))
+    d = ImageDraw.Draw(img)
+    y = 40
+    for line in spec["lines"]:
+        d.text((30, y), line, font=font, fill=(0, 0, 0))
+        y += int(spec["font"] * 2.2)
+    arr = np.asarray(img, dtype=np.uint8)
+    if spec["rot180"]:
+        arr = arr[::-1, ::-1].copy()
+    return arr
+
+
+def build_session(models_dir: Path):
+    """COMPAT-mode session running the reference's actual ONNX weights
+    through the XLA bridge (ort_worker.rs:120-135 analog)."""
+    from retto_tpu.config import PipelineMode, SessionConfig
+    from retto_tpu.ops.charset import CharacterDict
+    from retto_tpu.pipeline.onnx_engine import OnnxEngine
+    from retto_tpu.pipeline.session import RettoSession
+
+    paths = {
+        "det": models_dir / "ch_PP-OCRv4_det_infer.onnx",
+        "rec": models_dir / "ch_PP-OCRv4_rec_infer.onnx",
+        "cls": models_dir / "ch_ppocr_mobile_v2.0_cls_infer.onnx",
+        "keys": models_dir / "ppocr_keys_v1.txt",
+    }
+    missing = [str(p) for p in paths.values() if not p.exists()]
+    if missing:
+        raise FileNotFoundError(
+            f"missing artifacts {missing}; run tools/fetch_ppocr.py first"
+        )
+    cfg = SessionConfig()
+    cfg.mode = PipelineMode.COMPAT  # reference batching semantics
+    engine = OnnxEngine(det=paths["det"], cls=paths["cls"], rec=paths["rec"])
+    chars = CharacterDict.from_file(paths["keys"])
+    return RettoSession(cfg, engine=engine, charset=chars)
+
+
+def run_corpus(session) -> list[dict]:
+    out = []
+    for spec in CORPUS:
+        img = render_case(spec)
+        res = session.run(img)
+        out.append(
+            {
+                "name": spec["name"],
+                "image": f"{spec['name']}.png",
+                "boxes": [
+                    [[float(x), float(y)] for x, y in b.box.pts]
+                    for b in res.det_result
+                ],
+                "det_scores": [float(b.score) for b in res.det_result],
+                "cls_labels": [int(c.label) for c in res.cls_result],
+                "cls_scores": [float(c.score) for c in res.cls_result],
+                "texts": [t.text for t in res.rec_result],
+                "rec_scores": [float(t.score) for t in res.rec_result],
+            }
+        )
+    return out
+
+
+def compare(goldens: list[dict], got: list[dict]) -> dict:
+    """Match rates vs recorded reference outputs.  Boxes are compared in
+    reading order with the reference's own tolerance style (corner distance
+    <= 10 px — session.rs:224-225); texts must match exactly."""
+    n_text = n_text_ok = 0
+    n_box = n_box_ok = 0
+    n_cls = n_cls_ok = 0
+    per_case = {}
+    by_name = {c["name"]: c for c in got}
+    for ref in goldens:
+        cur = by_name.get(ref["name"])
+        if cur is None:
+            per_case[ref["name"]] = "MISSING"
+            n_text += len(ref["texts"])
+            n_box += len(ref["boxes"])
+            continue
+        ok = 0
+        for i, t in enumerate(ref["texts"]):
+            n_text += 1
+            if i < len(cur["texts"]) and cur["texts"][i] == t:
+                n_text_ok += 1
+                ok += 1
+        for i, b in enumerate(ref["boxes"]):
+            n_box += 1
+            if i < len(cur["boxes"]):
+                d = np.abs(np.asarray(b) - np.asarray(cur["boxes"][i])).max()
+                if d <= 10.0:
+                    n_box_ok += 1
+        for i, l in enumerate(ref["cls_labels"]):
+            n_cls += 1
+            if i < len(cur["cls_labels"]) and cur["cls_labels"][i] == l:
+                n_cls_ok += 1
+        per_case[ref["name"]] = f"{ok}/{len(ref['texts'])} texts"
+    return {
+        "text_match": n_text_ok / n_text if n_text else 1.0,
+        "box_match_10px": n_box_ok / n_box if n_box else 1.0,
+        "cls_match": n_cls_ok / n_cls if n_cls else 1.0,
+        "texts_total": n_text,
+        "per_case": per_case,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("corpus", help="write the corpus PNGs")
+    p.add_argument("--out", required=True)
+    p = sub.add_parser("record", help="record goldens from the ONNX models")
+    p.add_argument("--models", required=True)
+    p.add_argument("--out", default="parity_goldens.json")
+    p = sub.add_parser("check", help="compare a run against goldens")
+    p.add_argument("--models", required=True)
+    p.add_argument("--goldens", default="parity_goldens.json")
+    args = ap.parse_args()
+
+    if args.cmd == "corpus":
+        from PIL import Image
+
+        out = Path(args.out)
+        out.mkdir(parents=True, exist_ok=True)
+        for spec in CORPUS:
+            Image.fromarray(render_case(spec)).save(out / f"{spec['name']}.png")
+        print(f"wrote {len(CORPUS)} images to {out}")
+        return 0
+
+    session = build_session(Path(args.models))
+    results = run_corpus(session)
+    if args.cmd == "record":
+        doc = {
+            "version": 1,
+            "producer": "retto-tpu onnx-bridge",
+            "cases": results,
+        }
+        Path(args.out).write_text(json.dumps(doc, indent=1, ensure_ascii=False))
+        print(f"recorded {len(results)} cases -> {args.out}")
+        return 0
+
+    doc = json.loads(Path(args.goldens).read_text())
+    rep = compare(doc["cases"], results)
+    print(json.dumps(rep, indent=1))
+    ok = rep["text_match"] >= 0.999
+    print(f"text match {rep['text_match']:.4f} -> {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,7 +38,7 @@ from retto_tpu.train.data import (
     gather_det_batch,
     gather_rec_batch,
 )
-from retto_tpu.train.losses import cls_loss, ctc_loss, db_loss
+from retto_tpu.train.losses import ctc_loss, db_loss
 from retto_tpu.image.io import _pil_resize
 from retto_tpu.train.synth import default_font, natural_text, render_line, render_page, random_text
 from retto_tpu.train.trainer import TrainState, init_train_state
