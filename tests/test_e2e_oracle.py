@@ -32,11 +32,7 @@ def session():
     chars = CharacterDict(
         (WEIGHTS / "charset.txt").read_text(encoding="utf-8").splitlines()
     )
-    cfg = SessionConfig()
-    # our synthetic cls calibrates softer than the reference's real
-    # checkpoint; 0.7 instead of the 0.9 default (a config knob, not a
-    # semantics change)
-    cfg.cls.thresh = 0.7
+    cfg = SessionConfig()  # reference defaults incl. cls.thresh 0.9
     return RettoSession(
         cfg,
         preset="mobile",
@@ -52,8 +48,10 @@ def render(text: str, w=640, h=200, size=44, xy=(30, 70)):
         "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", size
     )
     img = Image.new("RGB", (w, h), (255, 255, 255))
-    ImageDraw.Draw(img).text(xy, text, font=font, fill=(0, 0, 0))
-    return np.asarray(img, dtype=np.uint8)
+    d = ImageDraw.Draw(img)
+    d.text(xy, text, font=font, fill=(0, 0, 0))
+    bbox = d.textbbox(xy, text, font=font)
+    return np.asarray(img, dtype=np.uint8), bbox  # (l, t, r, b)
 
 
 def similarity(a: str, b: str) -> float:
@@ -61,30 +59,58 @@ def similarity(a: str, b: str) -> float:
 
 
 def test_upright_text_recognized(session):
+    # the reference's own bar (session.rs:206-229): detected-box BR corner
+    # within 10 px of the true text extent, recognized text EXACTLY equal
     text = "Hello World 123"
-    res = session.run(render(text))
+    img, bbox = render(text)
+    res = session.run(img)
     assert len(res.det_result) == 1, f"expected 1 box, got {len(res.det_result)}"
     box = res.det_result[0].box
-    # box must cover the text area (reference asserts br within 10px of the
-    # text extent; our synthetic det is coarser -- assert containment-ish)
-    assert box.tl.x < 120 and box.tl.y < 120
-    assert box.br.x > 300 and box.br.y > 80
+    assert abs(box.br.x - bbox[2]) <= 10 and abs(box.br.y - bbox[3]) <= 10, (
+        box, bbox
+    )
     assert res.cls_result[0].label == 0
     got = res.rec_result[0].text
-    assert similarity(got, text) >= 0.8, f"{got!r} !~ {text!r}"
+    assert got == text, f"{got!r} != {text!r}"
 
 
 def test_rotated_image_cls_and_rec(session):
     # the reference's test_small_image: whole image rotated 180
-    # (session.rs:201-204, 226), cls must say 180 and rec must still read
+    # (session.rs:201-204, 226), cls must say 180 (at the default 0.9
+    # threshold) and rec must read the exact text
     text = "Hello World 123"
-    img = render(text)[::-1, ::-1].copy()
-    res = session.run(img)
+    img, _ = render(text)
+    res = session.run(img[::-1, ::-1].copy())
     assert len(res.det_result) == 1
     assert res.cls_result[0].label == 180
-    assert res.cls_result[0].score >= 0.7
+    assert res.cls_result[0].score >= 0.9
     got = res.rec_result[0].text
-    assert similarity(got, text) >= 0.8, f"{got!r} !~ {text!r}"
+    assert got == text, f"{got!r} != {text!r}"
+
+
+def test_large_image(session):
+    # the reference's test_large_image (session.rs:231-255): the same
+    # oracle at 7680x4320 with a 100 px corner tolerance — a regression
+    # test for the big-image resize chain (resize_both 2000/30 then det)
+    from PIL import Image, ImageDraw, ImageFont
+
+    text = "Hello World 123"
+    font = ImageFont.truetype(
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", 260
+    )
+    img = Image.new("RGB", (7680, 4320), (255, 255, 255))
+    d = ImageDraw.Draw(img)
+    xy = (400, 1900)
+    d.text(xy, text, font=font, fill=(0, 0, 0))
+    bbox = d.textbbox(xy, text, font=font)
+    res = session.run(np.asarray(img, dtype=np.uint8))
+    assert len(res.det_result) == 1
+    box = res.det_result[0].box  # reported in ORIGINAL image coords
+    assert abs(box.br.x - bbox[2]) <= 100 and abs(box.br.y - bbox[3]) <= 100, (
+        box, bbox
+    )
+    got = res.rec_result[0].text
+    assert got == text, f"{got!r} != {text!r}"
 
 
 def test_multiline_reading_order(session):
@@ -135,7 +161,7 @@ def session_nocls():
 def test_device_pipeline_matches_staged(session_nocls):
     # the fused fast path must produce equivalent texts to the staged path
     text = "Match Paths 99"
-    img = render(text)
+    img, _ = render(text)
     staged = session_nocls.run(img)
     fused = session_nocls.device_pipeline().run(img)
     assert len(fused.det_result) == len(staged.det_result) == 1
@@ -145,8 +171,7 @@ def test_device_pipeline_matches_staged(session_nocls):
     )
     s_txt = staged.rec_result[0].text
     f_txt = fused.rec_result[0].text
-    assert similarity(s_txt, f_txt) >= 0.85, (s_txt, f_txt)
-    assert similarity(s_txt, text) >= 0.85, s_txt
+    assert s_txt == f_txt == text, (s_txt, f_txt, text)
 
 
 def test_device_pipeline_yuv420_transfer(session_nocls):
@@ -156,7 +181,7 @@ def test_device_pipeline_yuv420_transfer(session_nocls):
     from retto_tpu.ops.charset import CharacterDict
 
     text = "Chroma Safe 42"
-    img = render(text)
+    img, _ = render(text)
     base = session_nocls.device_pipeline().run(img)
 
     chars = CharacterDict(

@@ -57,14 +57,11 @@ def main() -> None:
         weights={k: str(WEIGHTS / f"{k}.npz") for k in ("det", "cls", "rec")},
     )
     rng = np.random.default_rng(123)
-    usable = session.chars.chars[1:-1]
 
     n_exact = n_close = n_box = n_cls_up = n_cls_rot = n_det1 = 0
     fails = []
     for i in range(n):
-        text = natural_text(rng, usable) if hasattr(
-            sys.modules["retto_tpu.train.synth"], "natural_text"
-        ) else "Hello 123"
+        text = natural_text(rng, max_words=3)
         img, bbox = render(text)
         res = session.run(img)
         if len(res.det_result) == 1:
