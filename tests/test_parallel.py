@@ -89,3 +89,52 @@ def test_device_pipeline_mesh_equals_single():
         for da, db in zip(ra.det_result, rb.det_result):
             np.testing.assert_allclose(da.box.pts, db.box.pts, atol=1e-3)
         assert [t.text for t in ra.rec_result] == [t.text for t in rb.rec_result]
+
+
+class TestDistributed:
+    """Multi-host helpers (parallel/distributed.py) — single-process
+    semantics here; the sharding math is exercised with explicit
+    index/count arguments."""
+
+    def test_initialize_noop_without_coordinator(self, monkeypatch):
+        from retto_tpu.parallel import distributed as dist
+
+        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                    "JAX_PROCESS_ID"):
+            monkeypatch.delenv(var, raising=False)
+        assert dist.initialize() is False
+        assert not dist.is_initialized()
+        assert dist.process_count() == 1
+        assert dist.process_index() == 0
+
+    def test_host_shard_strided_partition(self):
+        from retto_tpu.parallel import distributed as dist
+
+        items = list(range(10))
+        shards = [dist.host_shard(items, index=i, count=4) for i in range(4)]
+        assert shards[0] == [0, 4, 8]
+        assert shards[1] == [1, 5, 9]
+        assert shards[3] == [3, 7]
+        # partition: disjoint and complete
+        flat = sorted(x for s in shards for x in s)
+        assert flat == items
+
+    def test_host_shard_defaults_to_this_process(self):
+        from retto_tpu.parallel import distributed as dist
+
+        items = ["a", "b", "c"]
+        assert dist.host_shard(items) == items  # 1 process -> everything
+
+    def test_host_shard_bad_index(self):
+        from retto_tpu.parallel import distributed as dist
+
+        with pytest.raises(ValueError):
+            dist.host_shard([1], index=2, count=2)
+
+    def test_global_mesh_spans_devices(self):
+        from retto_tpu.parallel import distributed as dist
+
+        mesh = dist.global_mesh()
+        assert mesh.devices.size == 8  # the virtual-device count
+        mesh2 = dist.global_mesh(model_parallel=2)
+        assert mesh2.shape == {"data": 4, "model": 2}
