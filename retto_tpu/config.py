@@ -109,8 +109,6 @@ class BucketConfig:
     # DevicePipeline extensions (pipeline/device_pipeline.py):
     # batch-dim buckets for the det forward
     det_batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16)
-    # candidate-count buckets for on-device box scoring
-    score_buckets: tuple[int, ...] = (16, 64, 256, 1024)
     # pad step for the uploaded (session-resolution) image planes
     upload_pad_to: int = 64
     # max images per upload/det chunk (chunks pipeline upload vs compute)

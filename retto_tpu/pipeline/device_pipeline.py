@@ -27,8 +27,10 @@ COMPAT mode in pipeline.stages reproduces the reference exactly):
 * the det input resize runs on device as two per-image bilinear matmuls
   (MXU) instead of the host PIL resample (equal on upscales, no
   anti-aliasing on extreme downscales);
-* box scores are a 16x64 bilinear resample mean of the prob map over the
-  candidate quad instead of the exact in-polygon pixel mean;
+* box scores are a 16x64 bilinear-grid mean over a 4x4-mean-pooled u8
+  prob map instead of the exact in-polygon pixel mean; the pooled map
+  rides down with the mask, so scoring costs ZERO extra round trips
+  (``_score_candidates``);
 * cls inputs are warped directly to the (48, 192) input canvas instead of
   crop -> resize (one resampling instead of two);
 * with ``EngineConfig.transfer_format == "yuv420"``, images cross the
@@ -143,14 +145,53 @@ class _Img:
 class _Chunk:
     key: tuple  # (upload Hp, Wp, det dh, dw, plane format)
     idxs: list[int]
-    upload_fut: Any = None  # -> (packed, pred, rgb_u8, valids_src_dev)
-    packed_np: np.ndarray | None = None
-    pred: Any = None
+    upload_fut: Any = None  # -> (fetch future, rgb_u8 dev, valids_src dev)
     rgb: Any = None
     valids_src: Any = None
-    score_handle: Any = None
-    score_owners: list[int] = field(default_factory=list)
-    score_n: int = 0
+
+
+def _score_candidates(prob_small: np.ndarray, quads: np.ndarray) -> np.ndarray:
+    """Mean probability inside each candidate quad, sampled on a 16x64
+    bilinear grid from the 4x4-mean-pooled u8 prob map (host-side
+    PERFORMANCE approximation of box_score_fast — the exact in-polygon
+    pixel mean stays in the COMPAT path, det_processor.rs:188-221).
+
+    Min-area rects are parallelograms, so the rect->quad map is affine
+    and the sample grid is a bilinear blend of the quad corners — no
+    homography solves, no device round trip.  quads [N, 4, 2] in det
+    coords (clockwise from TL); returns [N] f32 in 0..1."""
+    if not len(quads):
+        return np.zeros((0,), np.float32)
+    # pooled pixel j covers det cols [4j, 4j+4) -> center at 4j + 1.5
+    q = np.asarray(quads, np.float32) / 4.0 - 0.375  # [N, 4, 2]
+    u = (np.arange(64, dtype=np.float32) + 0.5) / 64.0
+    v = (np.arange(16, dtype=np.float32) + 0.5) / 16.0
+    uu, vv = np.meshgrid(u, v)  # [16, 64]
+    w00 = ((1 - uu) * (1 - vv))[None, ..., None]
+    w10 = (uu * (1 - vv))[None, ..., None]
+    w11 = (uu * vv)[None, ..., None]
+    w01 = ((1 - uu) * vv)[None, ..., None]
+    grid = (
+        w00 * q[:, None, None, 0]
+        + w10 * q[:, None, None, 1]
+        + w11 * q[:, None, None, 2]
+        + w01 * q[:, None, None, 3]
+    )  # [N, 16, 64, 2]
+    h, w = prob_small.shape
+    x = np.clip(grid[..., 0], 0.0, w - 1.001)
+    y = np.clip(grid[..., 1], 0.0, h - 1.001)
+    x0 = np.floor(x).astype(np.int32)
+    y0 = np.floor(y).astype(np.int32)
+    fx = x - x0
+    fy = y - y0
+    p = prob_small.astype(np.float32)
+    val = (
+        p[y0, x0] * (1 - fx) * (1 - fy)
+        + p[y0, x0 + 1] * fx * (1 - fy)
+        + p[y0 + 1, x0] * (1 - fx) * fy
+        + p[y0 + 1, x0 + 1] * fx * fy
+    )
+    return (val.mean(axis=(1, 2)) / 255.0).astype(np.float32)
 
 
 class DevicePipeline:
@@ -275,30 +316,19 @@ class DevicePipeline:
                 packed = jax.vmap(
                     lambda p: binarize_dilate_packed(p, det_cfg.thresh, dilate)
                 )(pred)
-            return packed, pred[:, 0], rgb_u8
+            # 4x4-mean-pooled u8 prob map rides down WITH the mask so box
+            # scoring happens on the host with no extra round trip (a
+            # PERFORMANCE-mode approximation like the old 16x64 device
+            # resample; ~48 KB/img)
+            pool = jax.lax.reduce_window(
+                pred[:, 0], 0.0, jax.lax.add,
+                window_dimensions=(1, 4, 4), window_strides=(1, 4, 4),
+                padding="VALID",
+            ) * (255.0 / 16.0)
+            prob_small = jnp.clip(jnp.rint(pool), 0, 255).astype(jnp.uint8)
+            return packed, prob_small, rgb_u8
 
         self._det_fwd = jax.jit(det_fwd, static_argnames=("dh", "dw", "fmt"))
-
-        def score_fwd(preds, rows, homogs):
-            """Mean probability inside each candidate quad, via a 16x64
-            bilinear resample of the prob map over the quad (PERFORMANCE-
-            mode approximation of box_score_fast; exact pixel means stay in
-            the compat path).  preds [B, H, W]; rows/homogs per candidate."""
-            samples = warp_crops_multi(
-                preds[..., None],
-                rows,
-                homogs,
-                jnp.tile(
-                    jnp.asarray(preds.shape[1:3], jnp.int32)[None],
-                    (preds.shape[0], 1),
-                ),
-                16,
-                64,
-                fill=0.0,
-            )
-            return samples.mean(axis=(1, 2, 3))
-
-        self._score_fwd = jax.jit(score_fwd)
 
         cls_label = jnp.asarray([int(v) for v in cfg.cls.label], jnp.int32)
         cls_thresh = float(cfg.cls.thresh)
@@ -444,20 +474,21 @@ class DevicePipeline:
         vd = self._put(valids_det)
         stats["bytes_up"] += sum(int(p.nbytes) for p in planes)
         stats["dispatches"] += 1
-        packed, pred, rgb = self._det_fwd(
+        packed, prob_small, rgb = self._det_fwd(
             self._params["det"], planes, vs, vd, dh=dh, dw=dw, fmt=fmt
         )
         if self.mesh is not None:
             # crop warps gather arbitrary rows -> re-replicate over ICI
             rgb = jax.device_put(rgb, self._replicated)
-            pred = jax.device_put(pred, self._replicated)
-            mask_fut = self._fetch_pool.submit(np.asarray, packed)
         else:
-            # the device->host mask copy starts as soon as det finishes and
-            # completes on a fetch thread, overlapping later host work
+            # the device->host copies start as soon as det finishes and
+            # complete on a fetch thread, overlapping later host work
             packed.copy_to_host_async()
-            mask_fut = self._fetch_pool.submit(np.asarray, packed)
-        return mask_fut, pred, rgb, vs
+            prob_small.copy_to_host_async()
+        fetch_fut = self._fetch_pool.submit(
+            jax.device_get, (packed, prob_small)
+        )
+        return fetch_fut, rgb, vs
 
     # ------------------------------------------------------------------ #
     def run_many(self, inputs: Sequence[bytes | np.ndarray]) -> list[OcrResult]:
@@ -513,26 +544,24 @@ class DevicePipeline:
         stats["chunks"] = len(chunks)
         stats["t_decode"] = time.perf_counter() - t
 
-        # ---- phase 2+3 pipelined with a one-chunk lag: in iteration i the
-        # PREVIOUS chunk's boxes finalize and its fused cls+rec dispatches
-        # FIRST, so that device work runs while chunk i's mask is fetched
-        # and its contours trace on the host ------------------------------- #
-        score_rect = np.array([[0, 0], [64, 0], [64, 16], [0, 16]], np.float64)
+        # ---- phase 2: per chunk — fetch (mask, pooled prob), trace
+        # contours, score + finalize ON HOST (no device round trip: the
+        # pooled prob map rode down with the mask), dispatch fused cls+rec.
+        # Chunk k's cls+rec computes on device while chunk k+1 fetches and
+        # traces ----------------------------------------------------------- #
         stats["t_upload_wait"] = 0.0
         clsrec_handles: list[tuple[list[_CropTask], Any]] = []
 
-        def fetch_mask(ch: _Chunk) -> np.ndarray:
+        def process_chunk(ch: _Chunk) -> None:
             t = time.perf_counter()
-            mask_fut, pred, rgb, vs = ch.upload_fut.result()
+            fetch_fut, rgb, vs = ch.upload_fut.result()
             stats["t_upload_wait"] += time.perf_counter() - t
-            ch.pred, ch.rgb, ch.valids_src = pred, rgb, vs
+            ch.rgb, ch.valids_src = rgb, vs
             t = time.perf_counter()
-            packed_np = mask_fut.result()  # one transfer per chunk (1 bit/px)
+            packed_np, prob_np = fetch_fut.result()
             stats["t_mask_fetch"] += time.perf_counter() - t
-            stats["bytes_down"] += int(packed_np.nbytes)
-            return packed_np
+            stats["bytes_down"] += int(packed_np.nbytes) + int(prob_np.nbytes)
 
-        def trace_and_score(ch: _Chunk, packed_np: np.ndarray) -> None:
             t = time.perf_counter()
             dh_full, w_full = ch.key[2], ch.key[3]
             row_packed = packed_np.shape[1] != dh_full  # pallas layout
@@ -553,52 +582,10 @@ class DevicePipeline:
                 imgs[i].cands = c
             stats["t_contours"] += time.perf_counter() - t
 
-            rows, homogs, owners = [], [], []
-            for i in ch.idxs:
-                im = imgs[i]
-                for quad in im.cands:
-                    c = perspective_coeffs(score_rect, quad)
-                    homogs.append(
-                        np.array(
-                            [[c[0], c[1], c[2]], [c[3], c[4], c[5]],
-                             [c[6], c[7], 1.0]],
-                            np.float32,
-                        )
-                    )
-                    rows.append(im.row)
-                    owners.append(i)
-            ch.score_owners = owners
-            ch.score_n = len(rows)
-            if rows:
-                m = len(rows)
-                mb = self._batch_bucket(m, bk.score_buckets)
-                if mb > m:
-                    homogs += [np.eye(3, dtype=np.float32)] * (mb - m)
-                    rows += [0] * (mb - m)
-                stats["dispatches"] += 1
-                handle = self._score_fwd(
-                    ch.pred,
-                    self._put(np.asarray(rows, np.int32)),
-                    self._put(np.stack(homogs)),
-                )
-                if self.mesh is None:
-                    handle.copy_to_host_async()
-                ch.score_handle = self._fetch_pool.submit(np.asarray, handle)
-
-        def finalize_and_dispatch(ch: _Chunk) -> None:
             t = time.perf_counter()
-            if ch.score_handle is not None:
-                sc = ch.score_handle.result()[: ch.score_n]
-                stats["bytes_down"] += 4 * ch.score_n
-            else:
-                sc = np.zeros((0,), np.float32)
-            stats["t_score"] += time.perf_counter() - t
-            pos = 0
             for i in ch.idxs:
                 im = imgs[i]
-                n = len(im.cands)
-                scores_i = sc[pos : pos + n] if n else np.zeros((0,), np.float32)
-                pos += n
+                scores_i = _score_candidates(prob_np[im.row], im.cands)
                 im.boxes, im.scores = det_finalize(
                     im.cands, scores_i, cfg.det, im.rh, im.rw, im.ah, im.aw
                 )
@@ -614,21 +601,13 @@ class DevicePipeline:
                         h_crop, w_crop = w_crop, h_crop
                     im.crops.append(_CropTask(i, j, quad, h_crop, w_crop))
                 stats["crops"] += len(im.boxes)
+            stats["t_score"] += time.perf_counter() - t
             chunk_crops = [c for i in ch.idxs for c in imgs[i].crops]
             if chunk_crops:
                 clsrec_handles.extend(self._dispatch_clsrec(ch, imgs, chunk_crops))
 
-        # per-chunk software pipeline: the previous chunk's cls+rec
-        # dispatch is sandwiched between this chunk's mask fetch and its
-        # host contour work, so the device computes cls+rec(k-1) while the
-        # host traces contours(k)
-        for k, ch in enumerate(chunks):
-            packed_np = fetch_mask(ch)
-            if k > 0:
-                finalize_and_dispatch(chunks[k - 1])
-            trace_and_score(ch, packed_np)
-        if chunks:
-            finalize_and_dispatch(chunks[-1])
+        for ch in chunks:
+            process_chunk(ch)
 
         # ---- phase 4: fetch cls+rec outputs, assemble.  ONE device_get
         # over every handle: transfers start async together instead of one
