@@ -341,7 +341,7 @@ class DevicePipeline:
             cls_homogs,
             cls_widths,
             rec_homogs,
-            rot_mats,
+            rec_flip_homogs,
             rec_widths,
             valid_hw,
             out_w,
@@ -349,8 +349,11 @@ class DevicePipeline:
         ):
             """Fused cls + rec for one rec width bucket.  The cls-driven
             180-degree rotation (cls_processor.rs:164-166) is realized by
-            composing the rec homography with ``rot_mats`` ON DEVICE, so
-            rec does not wait on a cls round trip."""
+            selecting the host-precomputed flipped sampling homography ON
+            DEVICE, so rec does not wait on a cls round trip.  (For
+            chunked wide lines the flipped homography points at the
+            MIRRORED segment, which a pure rotation composition could not
+            express — see _dispatch_clsrec.)"""
             _, ch, cw = cfg.cls.image_shape
             _, rh, _ = cfg.rec.image_shape
             n = rows.shape[0]
@@ -369,7 +372,7 @@ class DevicePipeline:
                 score = jnp.max(probs, axis=-1)
                 flip = (cls_label[idx] == 180) & (score >= cls_thresh)
                 homogs = jnp.where(
-                    flip[:, None, None], rec_homogs @ rot_mats, rec_homogs
+                    flip[:, None, None], rec_flip_homogs, rec_homogs
                 )
             else:
                 probs = jnp.zeros((n, cls_label.shape[0]), jnp.float32)
@@ -615,28 +618,63 @@ class DevicePipeline:
         t = time.perf_counter()
         rec_texts: dict[tuple[int, int], RecText] = {}
         fetched = jax.device_get([h for _, h in clsrec_handles])
-        for (crops, _), handle in zip(clsrec_handles, fetched):
+        for (entries, _), handle in zip(clsrec_handles, fetched):
             probs, flip, idxs, keep, score = handle
-            n = len(crops)
+            n = len(entries)
             probs = probs[:n]
-            flip = flip[:n]
             idxs = idxs[:n]
             keep = keep[:n]
             score = score[:n]
             stats["bytes_down"] += (
                 probs.nbytes + flip.nbytes + idxs.nbytes + keep.nbytes + score.nbytes
             )
-            texts = self.chars.decode_indices(idxs, keep)
             pred = probs.argmax(axis=1) if n else np.zeros((0,), np.int64)
-            for r, c in enumerate(crops):
+            # group segment rows by parent crop (k == 1 for normal crops)
+            by_crop: dict[tuple[int, int], list[tuple[int, tuple]]] = {}
+            for r, e in enumerate(entries):
+                c = e[0]
+                by_crop.setdefault((c.img_i, c.box_i), []).append((r, e))
+            for key, seg_rows in by_crop.items():
+                seg_rows.sort(key=lambda re: re[1][1])  # by seg index
+                r0, (c, _s, k, _x0, natural, _w) = seg_rows[0]
                 if self.cfg.use_cls:
-                    k = int(pred[r])
+                    ki = int(pred[r0])
                     c.cls_label = ClsLabel(
-                        label=int(cfg.cls.label[k]), score=float(probs[r, k])
+                        label=int(cfg.cls.label[ki]), score=float(probs[r0, ki])
                     )
-                rec_texts[(c.img_i, c.box_i)] = RecText(
-                    text=texts[r], score=float(score[r])
+                if k == 1:
+                    text = self.chars.decode_indices(
+                        idxs[r0 : r0 + 1], keep[r0 : r0 + 1]
+                    )[0]
+                    rec_texts[key] = RecText(text=text, score=float(score[r0]))
+                    continue
+                # chunked wide line: keep each timestep whose content-x
+                # center (x0 + 8t + 4; SVTR T = W/8) lies in the segment's
+                # half-overlap window, then decode the concatenation
+                bw = idxs.shape[1] * 8
+                step = (natural - bw) / (k - 1)
+                cat_idx, cat_keep, w_scores, w_counts = [], [], [], []
+                tt = np.arange(idxs.shape[1], dtype=np.float64) * 8.0 + 4.0
+                for r, (cc, s, _k, x0, _nat, _w) in seg_rows:
+                    lo = -np.inf if s == 0 else x0 + (bw - step) / 2.0
+                    hi = np.inf if s == k - 1 else x0 + (bw + step) / 2.0
+                    win = ((x0 + tt) >= lo) & ((x0 + tt) < hi)
+                    kr = keep[r] & win
+                    cat_idx.append(idxs[r])
+                    cat_keep.append(kr)
+                    w_scores.append(float(score[r]))
+                    w_counts.append(int(kr.sum()))
+                text = self.chars.decode_indices(
+                    np.concatenate(cat_idx)[None],
+                    np.concatenate(cat_keep)[None],
+                )[0]
+                tot = sum(w_counts)
+                sc = (
+                    sum(s_ * c_ for s_, c_ in zip(w_scores, w_counts)) / tot
+                    if tot
+                    else 0.0
                 )
+                rec_texts[key] = RecText(text=text, score=float(sc))
         stats["t_clsrec_fetch"] = time.perf_counter() - t
 
         out: list[OcrResult] = []
@@ -658,58 +696,112 @@ class DevicePipeline:
         return out
 
     # ------------------------------------------------------------------ #
-    def _homog(self, task: _CropTask, content_w: int, content_h: int) -> np.ndarray:
+    @staticmethod
+    def _quad_homog(
+        quad: np.ndarray, content_w: float, content_h: float,
+        rot180: bool = False,
+    ) -> np.ndarray:
         rect = np.array(
             [[0, 0], [content_w, 0], [content_w, content_h], [0, content_h]],
             np.float64,
         )
-        c = perspective_coeffs(rect, task.quad)
+        if rot180:
+            rect = rect[[2, 3, 0, 1]]
+        c = perspective_coeffs(rect, quad)
         return np.array(
             [[c[0], c[1], c[2]], [c[3], c[4], c[5]], [c[6], c[7], 1.0]],
             np.float32,
         )
 
+    @staticmethod
+    def _sub_quad(quad: np.ndarray, x0: float, x1: float, natural: float):
+        """Sub-quad covering content columns [x0, x1) of [0, natural) —
+        linear blend along the top (tl->tr) and bottom (bl->br) edges."""
+        a, b = x0 / natural, x1 / natural
+        q = np.asarray(quad, np.float64)
+        top_a = q[0] + a * (q[1] - q[0])
+        top_b = q[0] + b * (q[1] - q[0])
+        bot_a = q[3] + a * (q[2] - q[3])
+        bot_b = q[3] + b * (q[2] - q[3])
+        return np.stack([top_a, top_b, bot_b, bot_a])
+
     def _dispatch_clsrec(
         self, ch: _Chunk, imgs: list[_Img], crops: list[_CropTask]
-    ) -> list[tuple[list[_CropTask], Any]]:
-        """One fused cls+rec dispatch per rec width bucket (async)."""
+    ) -> list[tuple[list[tuple], Any]]:
+        """One fused cls+rec dispatch per rec width bucket (async).
+
+        Very wide lines (natural width > the largest width bucket) are
+        CHUNKED: the crop splits into k uniformly-spaced overlapping
+        segments of the max bucket width (the long-context / sequence-
+        parallel analog, SURVEY.md §5), each a sub-quad warp of the same
+        source image; the host merges the per-segment CTC streams by
+        keeping each timestep whose content-x center falls in that
+        segment's half-overlap window.  Uniform spacing keeps the segment
+        set mirror-symmetric, so the cls-driven 180-degree flip simply
+        reads the MIRRORED segment (precomputed flip homography).  Every
+        segment shares the parent crop's squeezed cls input, so the flip
+        decision is identical across segments.
+
+        Returns handles carrying entry tuples (crop, seg, k, x0, natural).
+        """
         cfg = self.cfg
         bk = cfg.buckets
         _, ch_h, cw = cfg.cls.image_shape
         _, rh, rw_default = cfg.rec.image_shape
-        by_width: dict[int, list[tuple[_CropTask, int]]] = {}
+        wmax = bk.rec_width_buckets[-1]
+        # entry: (crop, seg_idx, k, x0, natural, rec_width)
+        by_width: dict[int, list[tuple]] = {}
         for c in crops:
             natural = int(math.ceil(rh * c.crop_w / c.crop_h))
-            bw = _next_bucket(max(natural, rw_default), bk.rec_width_buckets)
-            by_width.setdefault(bw, []).append((c, min(natural, bw)))
+            if natural <= wmax:
+                bw = _next_bucket(max(natural, rw_default), bk.rec_width_buckets)
+                by_width.setdefault(bw, []).append(
+                    (c, 0, 1, 0.0, float(natural), min(natural, bw))
+                )
+            else:
+                ov = 2 * rh  # ~two glyph heights of overlap
+                k = max(2, int(math.ceil((natural - ov) / (wmax - ov))))
+                step = (natural - wmax) / (k - 1)
+                for s in range(k):
+                    by_width.setdefault(wmax, []).append(
+                        (c, s, k, s * step, float(natural), wmax)
+                    )
         handles = []
         for bw, items in sorted(by_width.items()):
-            cs = [c for c, _ in items]
-            rows = [imgs[c.img_i].row for c in cs]
-            rec_widths = [w for _, w in items]
-            cls_widths = [
-                min(cw, int(math.ceil(ch_h * c.crop_w / c.crop_h))) for c in cs
-            ]
-            cls_homogs = np.stack(
-                [self._homog(c, w, ch_h) for c, w in zip(cs, cls_widths)]
-            )
-            rec_homogs = np.stack(
-                [self._homog(c, w, rh) for c, w in zip(cs, rec_widths)]
-            )
-            # 180-degree flip of the [0,w]x[0,rh] content region, composed
-            # on device when cls says so: R = [[-1,0,w],[0,-1,rh],[0,0,1]]
-            rot = np.tile(np.eye(3, dtype=np.float32)[None], (len(cs), 1, 1))
-            rot[:, 0, 0] = -1.0
-            rot[:, 1, 1] = -1.0
-            rot[:, 0, 2] = np.asarray(rec_widths, np.float32)
-            rot[:, 1, 2] = float(rh)
-            nb = self._batch_bucket(len(cs), bk.rec_batch_buckets)
-            if nb > len(cs):
-                pad = nb - len(cs)
+            rows, rec_widths, cls_widths = [], [], []
+            fwd_h, flip_h, cls_h = [], [], []
+            for (c, s, k, x0, natural, w_eff) in items:
+                rows.append(imgs[c.img_i].row)
+                rec_widths.append(w_eff)
+                cls_widths.append(
+                    min(cw, int(math.ceil(ch_h * c.crop_w / c.crop_h)))
+                )
+                cls_h.append(self._quad_homog(c.quad, cls_widths[-1], ch_h))
+                if k == 1:
+                    fwd_h.append(self._quad_homog(c.quad, w_eff, rh))
+                    flip_h.append(
+                        self._quad_homog(c.quad, w_eff, rh, rot180=True)
+                    )
+                else:
+                    sub = self._sub_quad(c.quad, x0, x0 + bw, natural)
+                    # flipped reading of segment s == 180-rotated sampling
+                    # of the mirrored segment (uniform spacing is
+                    # symmetric: x0_mirror = natural - bw - x0)
+                    sub_m = self._sub_quad(
+                        c.quad, natural - bw - x0, natural - x0, natural
+                    )
+                    fwd_h.append(self._quad_homog(sub, bw, rh))
+                    flip_h.append(self._quad_homog(sub_m, bw, rh, rot180=True))
+            cls_homogs = np.stack(cls_h)
+            rec_homogs = np.stack(fwd_h)
+            rec_flips = np.stack(flip_h)
+            nb = self._batch_bucket(len(items), bk.rec_batch_buckets)
+            if nb > len(items):
+                pad = nb - len(items)
                 eye = np.tile(np.eye(3, dtype=np.float32)[None], (pad, 1, 1))
                 cls_homogs = np.concatenate([cls_homogs, eye])
                 rec_homogs = np.concatenate([rec_homogs, eye])
-                rot = np.concatenate([rot, eye])
+                rec_flips = np.concatenate([rec_flips, eye])
                 rec_widths = rec_widths + [1] * pad
                 cls_widths = cls_widths + [1] * pad
                 rows = rows + [0] * pad
@@ -722,11 +814,11 @@ class DevicePipeline:
                 self._put(cls_homogs),
                 self._put(np.asarray(cls_widths, np.int32)),
                 self._put(rec_homogs),
-                self._put(rot),
+                self._put(rec_flips),
                 self._put(np.asarray(rec_widths, np.int32)),
                 ch.valids_src,
                 out_w=bw,
                 use_cls=bool(cfg.use_cls),
             )
-            handles.append((cs, handle))
+            handles.append((items, handle))
         return handles

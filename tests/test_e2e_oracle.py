@@ -201,3 +201,35 @@ def test_device_pipeline_yuv420_transfer(session_nocls):
         got.det_result[0].box.pts, base.det_result[0].box.pts, atol=4
     )
     assert got.rec_result[0].text == base.rec_result[0].text
+
+
+def test_chunked_wide_line(session_nocls):
+    """Very wide lines split into overlapping segments (the long-context
+    analog — SURVEY.md §5): capping the width buckets must not change the
+    text read by the fused pipeline."""
+    from retto_tpu import RettoSession, SessionConfig
+    from retto_tpu.config import BucketConfig
+    from retto_tpu.ops.charset import CharacterDict
+
+    text = "the quick brown fox jumps over the dog"
+    img, _ = render(text, w=1600, h=140, size=40, xy=(20, 40))
+    base = session_nocls.device_pipeline().run(img)
+    base_text = base.rec_result[0].text
+
+    chars = CharacterDict(
+        (WEIGHTS / "charset.txt").read_text(encoding="utf-8").splitlines()
+    )
+    cfg = SessionConfig(use_cls=False)
+    cfg.buckets = BucketConfig(rec_width_buckets=(192, 320, 512))
+    s_chunk = RettoSession(
+        cfg,
+        preset="mobile",
+        charset=chars,
+        weights={k: str(WEIGHTS / f"{k}.npz") for k in ("det", "cls", "rec")},
+    )
+    got = s_chunk.device_pipeline().run(img)
+    assert len(got.det_result) == 1
+    got_text = got.rec_result[0].text
+    # the wide line must have actually been chunked (width ratio >> 512/48)
+    assert similarity(got_text, base_text) >= 0.9, (got_text, base_text)
+    assert similarity(got_text, text) >= 0.9, (got_text, text)
