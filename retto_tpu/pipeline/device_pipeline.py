@@ -452,13 +452,13 @@ class DevicePipeline:
         chunk: _Chunk,
         imgs: list[_Img],
         pixels: list[tuple[np.ndarray, ...]],
+        stats: dict,
     ):
         """Runs on the upload thread: stack the pre-padded planes, ship,
         and dispatch the det forward.  Returns device handles (dispatch is
         async; nothing here blocks on compute)."""
         hp, wp, dh, dw, fmt = chunk.key
         nb = self._batch_bucket(len(chunk.idxs), self.cfg.buckets.det_batch_buckets)
-        stats = self.last_stats
         n_planes = len(pixels[0])
         planes_np = []
         for p in range(n_planes):
@@ -495,15 +495,39 @@ class DevicePipeline:
 
     # ------------------------------------------------------------------ #
     def run_many(self, inputs: Sequence[bytes | np.ndarray]) -> list[OcrResult]:
+        return self._finish(self._prepare(inputs))
+
+    def stream(self, batches):
+        """Sustained-streaming mode (BASELINE config 5): a generator over
+        batches of inputs where batch i+1's decode + uploads run while
+        batch i's postprocess/fetch tail completes — consecutive
+        ``run_many`` calls leave the wire idle during the tail; this
+        doesn't."""
+        prep_pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            it = iter(batches)
+            try:
+                state = self._prepare(next(it))
+            except StopIteration:
+                return
+            for nxt in it:
+                fut = prep_pool.submit(self._prepare, nxt)
+                yield self._finish(state)
+                state = fut.result()
+            yield self._finish(state)
+        finally:
+            prep_pool.shutdown(wait=False)
+
+    def _prepare(self, inputs: Sequence[bytes | np.ndarray]) -> dict:
         cfg = self.cfg
-        t0 = time.perf_counter()
-        self.last_stats = {
+        stats = {
             "images": len(inputs), "crops": 0, "chunks": 0,
             "bytes_up": 0, "bytes_down": 0, "dispatches": 0,
             "t_decode": 0.0, "t_mask_fetch": 0.0, "t_contours": 0.0,
             "t_score": 0.0, "t_clsrec_fetch": 0.0, "t_total": 0.0,
+            "t_upload_wait": 0.0,
         }
-        stats = self.last_stats
+        t0 = time.perf_counter()
 
         # ---- phase 0+1 fused: decode + session resize + pad/pack, and
         # flush each (upload bucket, det bucket) chunk to the upload thread
@@ -525,6 +549,7 @@ class DevicePipeline:
                 ch,
                 [imgs[i] for i in idxs],
                 [pixels[i] for i in idxs],
+                stats,
             )
             chunks.append(ch)
 
@@ -546,14 +571,21 @@ class DevicePipeline:
             flush(key, idxs)
         stats["chunks"] = len(chunks)
         stats["t_decode"] = time.perf_counter() - t
+        return {"imgs": imgs, "chunks": chunks, "stats": stats, "t0": t0}
+
+    def _finish(self, state: dict) -> list[OcrResult]:
+        cfg = self.cfg
+        imgs: list[_Img] = state["imgs"]
+        chunks: list[_Chunk] = state["chunks"]
+        stats = state["stats"]
+        t0 = state["t0"]
 
         # ---- phase 2: per chunk — fetch (mask, pooled prob), trace
         # contours, score + finalize ON HOST (no device round trip: the
         # pooled prob map rode down with the mask), dispatch fused cls+rec.
         # Chunk k's cls+rec computes on device while chunk k+1 fetches and
         # traces ----------------------------------------------------------- #
-        stats["t_upload_wait"] = 0.0
-        clsrec_handles: list[tuple[list[_CropTask], Any]] = []
+        clsrec_handles: list[tuple[list[tuple], Any]] = []
 
         def process_chunk(ch: _Chunk) -> None:
             t = time.perf_counter()
@@ -607,7 +639,9 @@ class DevicePipeline:
             stats["t_score"] += time.perf_counter() - t
             chunk_crops = [c for i in ch.idxs for c in imgs[i].crops]
             if chunk_crops:
-                clsrec_handles.extend(self._dispatch_clsrec(ch, imgs, chunk_crops))
+                clsrec_handles.extend(
+                    self._dispatch_clsrec(ch, imgs, chunk_crops, stats)
+                )
 
         for ch in chunks:
             process_chunk(ch)
@@ -693,6 +727,7 @@ class DevicePipeline:
             )
             out.append(OcrResult(det_res, cls_res, rec_res))
         stats["t_total"] = time.perf_counter() - t0
+        self.last_stats = stats
         return out
 
     # ------------------------------------------------------------------ #
@@ -726,7 +761,7 @@ class DevicePipeline:
         return np.stack([top_a, top_b, bot_b, bot_a])
 
     def _dispatch_clsrec(
-        self, ch: _Chunk, imgs: list[_Img], crops: list[_CropTask]
+        self, ch: _Chunk, imgs: list[_Img], crops: list[_CropTask], stats: dict
     ) -> list[tuple[list[tuple], Any]]:
         """One fused cls+rec dispatch per rec width bucket (async).
 
@@ -805,7 +840,7 @@ class DevicePipeline:
                 rec_widths = rec_widths + [1] * pad
                 cls_widths = cls_widths + [1] * pad
                 rows = rows + [0] * pad
-            self.last_stats["dispatches"] += 1
+            stats["dispatches"] += 1
             handle = self._clsrec_fwd(
                 self._params["cls"],
                 self._params["rec"],

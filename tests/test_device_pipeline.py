@@ -77,3 +77,27 @@ class TestDevicePipeline:
         )
         with pytest.raises(RettoEngineError):
             s.device_pipeline()
+
+
+class TestStream:
+    def test_stream_matches_run_many(self, dp_session):
+        dp = dp_session.device_pipeline()
+        rng = np.random.default_rng(1)
+        batches = [
+            [rng.integers(0, 255, (160, 200, 3), dtype=np.uint8)
+             for _ in range(2)]
+            for _ in range(3)
+        ]
+        seq = [dp.run_many(b) for b in batches]
+        got = list(dp.stream(batches))
+        assert len(got) == 3
+        for rs, rg in zip(seq, got):
+            for a, b in zip(rs, rg):
+                assert len(a.det_result) == len(b.det_result)
+                assert [t.text for t in a.rec_result] == [
+                    t.text for t in b.rec_result
+                ]
+
+    def test_stream_empty(self, dp_session):
+        dp = dp_session.device_pipeline()
+        assert list(dp.stream([])) == []
