@@ -76,16 +76,23 @@ def bench_rec_only() -> dict:
     )
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
-    from retto_tpu.utils import time_fn
-
     @jax.jit
     def forward_decode(params, x):
         probs = model.apply(params, x)
         return ctc_greedy_decode(probs)
 
-    # NOTE: block_until_ready is unreliable over the axon tunnel; time_fn
-    # syncs via host fetch and amortizes the round trip over the chain.
-    per_iter, _ = time_fn(forward_decode, params, x, iters=50, warmup=3)
+    # NOTE: block_until_ready is unreliable over the axon tunnel; queue a
+    # long async chain and sync ONCE via a scalar fetch so the tunnel
+    # round trip amortizes over all iterations (device throughput, which
+    # is what crops/sec/chip means)
+    out = forward_decode(params, x)
+    np.asarray(out[2].ravel()[0])  # warm + sync
+    iters = 100
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward_decode(params, x)
+    np.asarray(out[2].ravel()[0])
+    per_iter = (time.perf_counter() - t0) / iters
     crops_per_sec = batch / per_iter
     return {
         "metric": "rec crops/sec/chip (SVTR mobile 48x320 + CTC decode)",

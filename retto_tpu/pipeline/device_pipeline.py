@@ -85,16 +85,22 @@ __all__ = ["DevicePipeline"]
 def _bilinear_matrix(src_valid, dst_valid, src_size: int, dst_size: int):
     """Per-image bilinear resample matrix [B, dst_size, src_size] mapping a
     [0, src_valid) source extent onto [0, dst_valid) of the dst canvas with
-    PIL-style pixel-center alignment.  Rows/cols beyond the valid extents
+    PIL-style pixel-center alignment.  On downscales the triangle filter
+    widens by the scale factor (PIL's anti-aliased BILINEAR); on upscales
+    it is the plain 2-tap bilinear.  Rows/cols beyond the valid extents
     are zero.  Dense on purpose: the resample becomes two einsum matmuls on
     the MXU instead of a gather chain (TPU-first; see module docstring)."""
     i = jax.lax.broadcasted_iota(jnp.float32, (1, dst_size, 1), 1)
     j = jax.lax.broadcasted_iota(jnp.float32, (1, 1, src_size), 2)
     sv = src_valid[:, None, None]
     dv = dst_valid[:, None, None]
-    sy = jnp.clip((i + 0.5) * (sv / dv) - 0.5, 0.0, sv - 1.0)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(sy - j))
-    return w * (i < dv) * (j < sv)
+    scale = sv / dv
+    support = jnp.maximum(scale, 1.0)  # filter half-width in source px
+    sy = jnp.clip((i + 0.5) * scale - 0.5, 0.0, sv - 1.0)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(sy - j) / support)
+    w = w * (i < dv) * (j < sv)
+    # normalize rows (the widened filter's taps no longer sum to 1)
+    return w / jnp.maximum(w.sum(axis=2, keepdims=True), 1e-6)
 
 
 def _resize2(wh, ww, img):

@@ -81,3 +81,31 @@ class TestMatmulResize:
         assert np.allclose(out[:24, :24], 100.0)
         assert np.allclose(out[24:, :], 0.0)
         assert np.allclose(out[:, 24:], 0.0)
+
+    def test_downscale_matches_pil_bilinear(self):
+        # downscales use the widened (anti-aliased) triangle filter like
+        # PIL's BILINEAR — big-photo det inputs match the host path
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from retto_tpu.pipeline.device_pipeline import (
+            _bilinear_matrix,
+            _resize2,
+        )
+
+        rng = np.random.default_rng(5)
+        src = rng.integers(0, 255, (128, 192, 3), np.uint8)
+        ref = np.asarray(
+            Image.fromarray(src).resize((48, 32), Image.BILINEAR),
+            dtype=np.float32,
+        )
+        wh = _bilinear_matrix(
+            jnp.asarray([128.0]), jnp.asarray([32.0]), 128, 32
+        )
+        ww = _bilinear_matrix(
+            jnp.asarray([192.0]), jnp.asarray([48.0]), 192, 48
+        )
+        got = np.asarray(
+            _resize2(wh, ww, jnp.asarray(src, jnp.float32)[None])
+        )[0]
+        assert np.abs(got - ref).max() <= 1.0
