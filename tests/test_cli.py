@@ -59,3 +59,25 @@ def test_ocr_runs_on_image(tmp_path):
     rec = json.loads(lines[0])
     assert rec["file"].endswith("a.png")
     assert isinstance(rec["texts"], list)
+
+
+@pytest.mark.slow
+def test_ocr_device_pipeline_streams_batches(tmp_path):
+    """--device-pipeline streams file batches through run_many; a corrupt
+    file must not kill the run (isolated fallback)."""
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+        Image.fromarray(img).save(tmp_path / f"{i}.png")
+    (tmp_path / "bad.png").write_bytes(b"not a png at all")
+    out = tmp_path / "out.jsonl"
+    r = run_cli([
+        "ocr", str(tmp_path), "--preset", "tiny", "--weights-dir", "/nonexistent",
+        "--limit-side-len", "96", "--device-pipeline", "--batch", "2",
+        "--json-out", str(out),
+    ])
+    assert r.returncode == 0, r.stderr
+    assert "processed 3 images" in r.stderr, r.stderr
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 3
+    assert not any(l["file"].endswith("bad.png") for l in lines)
