@@ -111,8 +111,10 @@ class BucketConfig:
     det_batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16)
     # pad step for the uploaded (session-resolution) image planes
     upload_pad_to: int = 64
-    # max images per upload/det chunk (chunks pipeline upload vs compute)
-    det_chunk: int = 8
+    # max images per upload/det chunk (chunks pipeline upload vs compute;
+    # 4 measured best on the tunneled chip — deep enough overlap without
+    # per-dispatch round-trip overhead dominating, see PERF.md)
+    det_chunk: int = 4
 
 
 @dataclass
