@@ -182,9 +182,11 @@ def bench_streaming(weights_dir: Path) -> dict:
         total += len(out)
         crops += dp.last_stats["crops"]
     dt = time.perf_counter() - t0
+    occ = dp.metrics.summary()["bucket_occupancy"]
     return {
         "config5_stream_imgs_per_sec": round(total / dt, 2),
         "config5_crops_per_sec": round(crops / dt, 1),
+        "config5_bucket_occupancy": occ,
     }
 
 

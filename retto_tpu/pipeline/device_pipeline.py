@@ -210,9 +210,13 @@ class DevicePipeline:
         config: SessionConfig,
         chars: CharacterDict,
         mesh=None,
+        metrics=None,
     ):
+        from ..utils.metrics import PipelineMetrics
+
         self.cfg = config
         self.chars = chars
+        self.metrics = metrics if metrics is not None else PipelineMetrics()
         self.mesh = mesh
         self.transfer = config.engine.transfer_format
         if self.transfer not in ("rgb", "yuv420"):
@@ -465,6 +469,7 @@ class DevicePipeline:
         async; nothing here blocks on compute)."""
         hp, wp, dh, dw, fmt = chunk.key
         nb = self._batch_bucket(len(chunk.idxs), self.cfg.buckets.det_batch_buckets)
+        self.metrics.record_batch("det_batch", len(chunk.idxs), nb)
         n_planes = len(pixels[0])
         planes_np = []
         for p in range(n_planes):
@@ -734,6 +739,13 @@ class DevicePipeline:
             out.append(OcrResult(det_res, cls_res, rec_res))
         stats["t_total"] = time.perf_counter() - t0
         self.last_stats = stats
+        m = self.metrics
+        m.images += stats["images"]
+        m.crops += stats["crops"]
+        m.latencies_s.append(stats["t_total"])
+        for k in ("t_decode", "t_mask_fetch", "t_contours", "t_score",
+                  "t_clsrec_fetch"):
+            m.stage_time[k[2:]] += stats[k]
         return out
 
     # ------------------------------------------------------------------ #
@@ -846,6 +858,11 @@ class DevicePipeline:
                 rec_widths = rec_widths + [1] * pad
                 cls_widths = cls_widths + [1] * pad
                 rows = rows + [0] * pad
+            self.metrics.record_batch("rec_batch", len(items), nb)
+            self.metrics.record_batch(
+                f"rec_width_{bw}", int(sum(rec_widths[: len(items)])),
+                bw * len(items),
+            )
             stats["dispatches"] += 1
             handle = self._clsrec_fwd(
                 self._params["cls"],

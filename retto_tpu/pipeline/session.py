@@ -91,6 +91,7 @@ class RettoSession:
                 self.config,
                 self.chars,
                 mesh=self._mesh,
+                metrics=self.metrics,
             )
         return self._device_pipeline
 

@@ -101,3 +101,17 @@ class TestStream:
     def test_stream_empty(self, dp_session):
         dp = dp_session.device_pipeline()
         assert list(dp.stream([])) == []
+
+
+def test_metrics_accumulate(dp_session):
+    dp = dp_session.device_pipeline()
+    before = dp.metrics.images
+    rng = np.random.default_rng(2)
+    dp.run_many(
+        [rng.integers(0, 255, (160, 200, 3), dtype=np.uint8) for _ in range(2)]
+    )
+    assert dp.metrics.images == before + 2
+    s = dp.metrics.summary()
+    assert "det_batch" in s["bucket_occupancy"]
+    # session and pipeline share ONE metrics object (serve /metrics)
+    assert dp.metrics is dp_session.metrics
