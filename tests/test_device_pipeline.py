@@ -115,3 +115,33 @@ def test_metrics_accumulate(dp_session):
     assert "det_batch" in s["bucket_occupancy"]
     # session and pipeline share ONE metrics object (serve /metrics)
     assert dp.metrics is dp_session.metrics
+
+
+def test_run_many_empty_list(dp_session):
+    assert dp_session.device_pipeline().run_many([]) == []
+
+
+def test_mixed_gray_and_color_batch():
+    """yuv420 transfer auto-detects grayscale per image; a mixed batch
+    splits into gray + yuv chunks and both must come back in order."""
+    from retto_tpu.config import BucketConfig, SessionConfig
+    from retto_tpu.pipeline.session import RettoSession
+
+    cfg = SessionConfig()
+    cfg.det.limit_side_len = 128
+    cfg.buckets = BucketConfig(
+        det_pad_to=64, det_max_side=256, rec_width_buckets=(320,),
+        cls_batch_buckets=(4,), rec_batch_buckets=(4,), det_batch_buckets=(4,),
+    )
+    cfg.engine.compute_dtype = "float32"
+    cfg.engine.transfer_format = "yuv420"
+    session = RettoSession(cfg, preset="tiny")
+    rng = np.random.default_rng(3)
+    gray = np.repeat(
+        rng.integers(0, 255, (160, 200, 1), dtype=np.uint8), 3, axis=2
+    )
+    color = rng.integers(0, 255, (160, 200, 3), dtype=np.uint8)
+    res = session.device_pipeline().run_many([gray, color, gray])
+    assert len(res) == 3
+    for r in res:
+        assert len(r.rec_result) == len(r.det_result)
