@@ -19,14 +19,14 @@ and traces contours, so transfer, device compute, and host postprocess
 overlap.  The cls -> rec dependency (cls decides the 180-degree flip
 before rec reads the crop — cls_processor.rs:164-166) is fused into ONE
 device call per rec width bucket: the flip is applied on device by
-composing the rec sampling homography with a 180-degree rotation, so no
-cls round trip blocks rec dispatch.
+selecting a host-precomputed flipped sampling homography, so no cls
+round trip blocks rec dispatch.
 
 Deviations from the reference path (all confined to PERFORMANCE mode;
 COMPAT mode in pipeline.stages reproduces the reference exactly):
 * the det input resize runs on device as two per-image bilinear matmuls
-  (MXU) instead of the host PIL resample (equal on upscales, no
-  anti-aliasing on extreme downscales);
+  (MXU) instead of the host PIL resample (matches PIL BILINEAR within
+  u8 rounding on both up- and downscales — tests/test_yuv.py);
 * box scores are a 16x64 bilinear-grid mean over a 4x4-mean-pooled u8
   prob map instead of the exact in-polygon pixel mean; the pooled map
   rides down with the mask, so scoring costs ZERO extra round trips
