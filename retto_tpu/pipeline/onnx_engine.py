@@ -26,6 +26,20 @@ from ..weights.onnx_bridge import build_fn
 __all__ = ["OnnxEngine", "resolve_model_source"]
 
 
+class _OnnxModule:
+    """Flax-like ``.apply(params, x)`` adapter over a translated ONNX
+    graph, so DevicePipeline can fuse the reference's actual PP-OCRv4
+    weights into its device programs (ort_worker.rs:188-221 contract:
+    NCHW f32 in; det [N,1,H,W], cls [N,2], rec [N,T,C] out)."""
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def apply(self, params, x, **_):
+        out = self._fn(params, x)
+        return out[0] if isinstance(out, (tuple, list)) else out
+
+
 def resolve_model_source(source: Any) -> bytes:
     """Path / bytes / {"repo": ..., "file": ...} -> model bytes
     (worker.rs:30-56 ``resolve``)."""
@@ -57,11 +71,22 @@ class OnnxEngine:
 
     def __init__(self, det: Any = None, cls: Any = None, rec: Any = None):
         self._fns: dict[str, tuple[Any, dict]] = {}
+        self._raw: dict[str, Any] = {}
         for name, src in (("det", det), ("cls", cls), ("rec", rec)):
             if src is None:
                 continue
             fn, params = build_fn(resolve_model_source(src))
+            self._raw[name] = fn
             self._fns[name] = (jax.jit(fn), jax.device_put(params))
+
+    # ---- DevicePipeline integration ---------------------------------- #
+    def modules(self) -> dict[str, _OnnxModule]:
+        """Flax-like modules for the fused DevicePipeline (session
+        .device_pipeline() uses these when the engine is ONNX-backed)."""
+        return {name: _OnnxModule(fn) for name, fn in self._raw.items()}
+
+    def params(self) -> dict[str, Any]:
+        return {name: p for name, (_, p) in self._fns.items()}
 
     def _run(self, name: str, x):
         from ..errors import RettoEngineError

@@ -71,23 +71,32 @@ class RettoSession:
 
     def device_pipeline(self):
         """The fused device-resident fast path (PERFORMANCE north star;
-        see pipeline.device_pipeline).  Requires real models (not available
-        with a user-supplied engine)."""
+        see pipeline.device_pipeline).  Works with session-built flax
+        models or an ONNX-backed engine (the reference's own PP-OCRv4
+        weights fuse into the device programs); a FakeEngine or other
+        opaque engine cannot be fused."""
         if self._device_pipeline is None:
-            if not self._models:
+            models, params = self._models, self._params
+            if not models and hasattr(self.engine, "modules"):
+                mods = self.engine.modules()
+                if all(k in mods for k in ("det", "cls", "rec")):
+                    models = mods
+                    params = self.engine.params()
+            if not models:
                 from ..errors import RettoEngineError
 
                 raise RettoEngineError(
-                    "device_pipeline requires session-built models "
-                    "(construct RettoSession without engine=)"
+                    "device_pipeline requires fusable models: construct "
+                    "RettoSession without engine=, or with an OnnxEngine "
+                    "holding det+cls+rec"
                 )
             from .device_pipeline import DevicePipeline
 
             self._device_pipeline = DevicePipeline(
-                self._models["det"],
-                self._models["cls"],
-                self._models["rec"],
-                self._params,
+                models["det"],
+                models["cls"],
+                models["rec"],
+                params,
                 self.config,
                 self.chars,
                 mesh=self._mesh,

@@ -145,3 +145,67 @@ def test_mixed_gray_and_color_batch():
     assert len(res) == 3
     for r in res:
         assert len(r.rec_result) == len(r.det_result)
+
+
+def test_device_pipeline_from_onnx_engine():
+    """The fused pipeline must run translated ONNX models (the reference's
+    own artifact path; ort_worker.rs:120-135 analog) — hermetic graphs
+    built with the in-repo protobuf writer."""
+    from retto_tpu.config import BucketConfig, SessionConfig
+    from retto_tpu.ops.charset import CharacterDict
+    from retto_tpu.pipeline.onnx_engine import OnnxEngine
+    from retto_tpu.pipeline.session import RettoSession
+    from retto_tpu.weights.onnx_proto import encode_model, encode_node
+
+    rng = np.random.default_rng(7)
+    # det: dark-region detector -> [N, 1, H, W] prob map
+    det = encode_model(
+        [
+            encode_node("Conv", ["x", "w"], ["c"], pads=[1, 1, 1, 1]),
+            encode_node("Sigmoid", ["c"], ["y"]),
+        ],
+        {"w": np.full((1, 3, 3, 3), -1.0 / 27.0, np.float32)},
+        {"x": [1, 3, 64, 64]}, {"y": [1, 1, 64, 64]},
+    )
+    # cls: [N, 2] probs
+    cls = encode_model(
+        [
+            encode_node("Conv", ["x", "wc"], ["c"]),
+            encode_node("GlobalAveragePool", ["c"], ["g"]),
+            encode_node("Flatten", ["g"], ["f"]),
+            encode_node("Softmax", ["f"], ["y"], axis=-1),
+        ],
+        {"wc": rng.normal(size=(2, 3, 1, 1)).astype(np.float32)},
+        {"x": [1, 3, 48, 192]}, {"y": [1, 2]},
+    )
+    # rec: [N, T, C] with T = W/8, C = 6 (4 chars + blank + space)
+    rec = encode_model(
+        [
+            encode_node("AveragePool", ["x"], ["p"],
+                        kernel_shape=[48, 8], strides=[48, 8]),
+            encode_node("Conv", ["p", "wr"], ["c"]),
+            encode_node("Squeeze", ["c"], ["s"], axes=[2]),
+            encode_node("Transpose", ["s"], ["t"], perm=[0, 2, 1]),
+            encode_node("Softmax", ["t"], ["y"], axis=-1),
+        ],
+        {"wr": rng.normal(size=(6, 3, 1, 1)).astype(np.float32)},
+        {"x": [1, 3, 48, 320]}, {"y": [1, 40, 6]},
+    )
+    engine = OnnxEngine(det=det, cls=cls, rec=rec)
+    cfg = SessionConfig()
+    cfg.det.limit_side_len = 128
+    cfg.buckets = BucketConfig(
+        det_pad_to=64, det_max_side=256, rec_width_buckets=(320,),
+        cls_batch_buckets=(4,), rec_batch_buckets=(4,), det_batch_buckets=(4,),
+    )
+    session = RettoSession(
+        cfg, engine=engine, charset=CharacterDict(list("abcd"))
+    )
+    img = np.full((160, 200, 3), 255, np.uint8)
+    img[60:90, 40:160] = 0  # a dark bar the det graph will flag
+    res = session.device_pipeline().run_many([img, img])
+    assert len(res) == 2
+    for r in res:
+        assert len(r.det_result) >= 1
+        assert len(r.rec_result) == len(r.det_result)
+        assert len(r.cls_result) == len(r.det_result)
