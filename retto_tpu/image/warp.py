@@ -27,6 +27,7 @@ __all__ = [
     "crop_homographies",
     "warp_crops",
     "warp_crops_multi",
+    "warp_crops_separable",
     "crop_output_size",
 ]
 
@@ -158,3 +159,55 @@ def _warp_impl(img, homographies, out_h: int, out_w: int, fill: float, h, w):
         return out.reshape(out_h, out_w, ch)
 
     return jax.vmap(one)(homographies)
+
+
+def _axis_matrix(o, s, src_size: int, dst_size: int, valid):
+    """Per-crop 1-D bilinear sampling matrix [N, dst_size, src_size] for
+    the linear map p(d) = o + d*s (s may be negative — the 180-degree
+    flip).  Taps outside [0, valid) are dropped; the caller blends the
+    missing weight mass with the fill value, which reproduces the gather
+    warp's per-tap fill EXACTLY (each 2-D tap is out iff its row or
+    column tap is out).  Returns (weights, row tap-mass [N, dst_size])."""
+    d = jax.lax.broadcasted_iota(jnp.float32, (1, dst_size, 1), 1)
+    j = jax.lax.broadcasted_iota(jnp.float32, (1, 1, src_size), 2)
+    o = o[:, None, None]
+    s = s[:, None, None]
+    v = valid[:, None, None]
+    p = o + d * s
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(p - j)) * (j < v)
+    return w, w.sum(axis=2)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "fill"))
+def warp_crops_separable(
+    images: jax.Array,
+    img_idx: jax.Array,
+    scal: jax.Array,
+    valid_hw: jax.Array,
+    out_h: int,
+    out_w: int,
+    fill: float = 255.0,
+) -> jax.Array:
+    """AXIS-ALIGNED crop warp as two dense matmuls on the MXU.
+
+    Arbitrary-quad warps gather 4 taps per output pixel — and TPU gathers
+    are slow (~60 ms for 32 rec crops, 15x the rec model itself).  Most
+    det boxes of horizontal text are axis-aligned rectangles, whose warp
+    is a SEPARABLE resample: out = Wv @ img @ Wu^T with per-crop 1-D
+    bilinear matrices — dense MXU work, ~20x faster.  The general path
+    (warp_crops_multi) remains for rotated quads.
+
+    images: [B, H, W, C] u8; img_idx: [N]; scal: [N, 4] = (ox, sx, oy, sy)
+    mapping dest (u, v) -> source (ox + u*sx, oy + v*sy); valid_hw: [B, 2].
+    Returns [N, out_h, out_w, C] f32 with out-of-valid dest pixels filled.
+    """
+    src = images[img_idx].astype(jnp.float32)  # [N, H, W, C]
+    h, w = images.shape[1], images.shape[2]
+    vh = valid_hw[img_idx, 0].astype(jnp.float32)
+    vw = valid_hw[img_idx, 1].astype(jnp.float32)
+    wv, mass_v = _axis_matrix(scal[:, 2], scal[:, 3], h, out_h, vh)
+    wu, mass_u = _axis_matrix(scal[:, 0], scal[:, 1], w, out_w, vw)
+    t = jnp.einsum("ndh,nhwc->ndwc", wv, src)
+    out = jnp.einsum("new,ndwc->ndec", wu, t)
+    mass = mass_v[:, :, None] * mass_u[:, None, :]  # in-bounds tap mass
+    return out + (1.0 - mass)[..., None] * fill

@@ -61,7 +61,7 @@ import numpy as np
 from ..config import SessionConfig
 from ..geometry import PointBox, scale_and_clip
 from ..image.io import ImageHelper, decode_image, perspective_coeffs
-from ..image.warp import warp_crops_multi
+from ..image.warp import warp_crops_multi, warp_crops_separable
 from ..image.yuv import rgb_to_yuv420, yuv420_to_rgb_device, yuv_planes_to_rgb
 from ..ops.charset import CharacterDict
 from ..ops.ctc import ctc_greedy_decode
@@ -109,16 +109,54 @@ def _resize2(wh, ww, img):
     return jnp.einsum("bew,bdwc->bdec", ww, t)
 
 
-def _warp_norm(imgs_u8, rows, homogs, widths, valid_hw, out_h: int, out_w: int):
+def _warp_norm(imgs_u8, rows, geo, widths, valid_hw, out_h: int, out_w: int):
     """Crop-warp + rec/cls normalize ((x/255 - .5)/.5, right-pad zeroed) to
-    NCHW — resize_norm_image semantics (image_helper.rs:176-209)."""
-    crops = warp_crops_multi(
-        imgs_u8, rows, homogs, valid_hw, out_h, out_w, fill=255.0
-    )
+    NCHW — resize_norm_image semantics (image_helper.rs:176-209).
+
+    ``geo`` selects the warp: [N, 3, 3] homographies take the gather path
+    (arbitrary quads); [N, 4] (ox, sx, oy, sy) scale/offsets take the
+    separable two-matmul MXU path (axis-aligned quads — TPU gathers cost
+    ~15x the rec model itself, see image/warp.py)."""
+    if geo.ndim == 3:
+        crops = warp_crops_multi(
+            imgs_u8, rows, geo, valid_hw, out_h, out_w, fill=255.0
+        )
+    else:
+        crops = warp_crops_separable(
+            imgs_u8, rows, geo, valid_hw, out_h, out_w, fill=255.0
+        )
     x = (crops / 255.0 - 0.5) / 0.5
     col = jnp.arange(out_w)[None, None, :, None]
     x = jnp.where(col < widths[:, None, None, None], x, 0.0)
     return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def _is_aligned(quad, eps: float = 1e-3) -> bool:
+    """True when the warp-source quad is an axis-aligned rectangle in
+    normal orientation (the common case for horizontal text) — eligible
+    for the separable MXU warp."""
+    q = np.asarray(quad)
+    return bool(
+        abs(q[0, 1] - q[1, 1]) <= eps
+        and abs(q[2, 1] - q[3, 1]) <= eps
+        and abs(q[0, 0] - q[3, 0]) <= eps
+        and abs(q[1, 0] - q[2, 0]) <= eps
+        and q[1, 0] - q[0, 0] > eps
+        and q[3, 1] - q[0, 1] > eps
+    )
+
+
+def _aligned_scal(quad, w_eff: float, h_eff: float, flip: bool) -> list[float]:
+    """(ox, sx, oy, sy) mapping dest [0,w_eff)x[0,h_eff) onto the aligned
+    quad — same integer-grid convention as the homography path, so the
+    two warps are numerically identical on aligned quads."""
+    q = np.asarray(quad, np.float64)
+    x0, y0 = q[0]
+    ws = q[1, 0] - q[0, 0]
+    hs = q[3, 1] - q[0, 1]
+    if flip:
+        return [x0 + ws, -ws / w_eff, y0 + hs, -hs / h_eff]
+    return [x0, ws / w_eff, y0, hs / h_eff]
 
 
 @dataclass
@@ -241,7 +279,6 @@ class DevicePipeline:
         # one parallelizes decode + contour tracing (the C++ contour call
         # releases the GIL)
         self._upload_pool = ThreadPoolExecutor(max_workers=1)
-        self._host_pool = ThreadPoolExecutor(max_workers=4)
         # device->host fetches are I/O waits over the tunnel; parking them
         # on threads lets them overlap the main thread's contour tracing
         self._fetch_pool = ThreadPoolExecutor(max_workers=2)
@@ -381,15 +418,14 @@ class DevicePipeline:
                 idx = jnp.argmax(probs, axis=-1)
                 score = jnp.max(probs, axis=-1)
                 flip = (cls_label[idx] == 180) & (score >= cls_thresh)
-                homogs = jnp.where(
-                    flip[:, None, None], rec_flip_homogs, rec_homogs
-                )
+                sel = flip.reshape(flip.shape + (1,) * (rec_homogs.ndim - 1))
+                geo = jnp.where(sel, rec_flip_homogs, rec_homogs)
             else:
                 probs = jnp.zeros((n, cls_label.shape[0]), jnp.float32)
                 flip = jnp.zeros((n,), bool)
-                homogs = rec_homogs
+                geo = rec_homogs
             xr = to3(_warp_norm(
-                imgs_u8, rows, homogs, rec_widths, valid_hw, rh, out_w
+                imgs_u8, rows, geo, rec_widths, valid_hw, rh, out_w
             ))
             rec_probs = rec_model.apply(params_rec, xr)
             idxs, keep, scores = ctc_greedy_decode(rec_probs)
@@ -423,26 +459,34 @@ class DevicePipeline:
         im = _Img(ah, aw, ori_h, ori_w, rh, rw)
         hp = _bucket_up(ah, bk.upload_pad_to, 1 << 30)
         wp = _bucket_up(aw, bk.upload_pad_to, 1 << 30)
-        # edge-replicate so 4:2:0 chroma never bleeds padding colors into
-        # the valid region's boundary pixels
-        padded = np.pad(
-            img.img, ((0, hp - ah), (0, wp - aw), (0, 0)), mode="edge"
-        )
+        px = img.img
+
+        def pad(arr: np.ndarray) -> np.ndarray:
+            # edge-replicate so 4:2:0 chroma never bleeds padding colors
+            # into the valid region's boundary pixels
+            if hp == arr.shape[0] and wp == arr.shape[1]:
+                return arr  # np.pad copies even for zero pad
+            width = ((0, hp - arr.shape[0]), (0, wp - arr.shape[1]))
+            if arr.ndim == 3:
+                width += ((0, 0),)
+            return np.pad(arr, width, mode="edge")
+
         if self.transfer == "yuv420":
             # truly grayscale input -> a single luma plane (1 B/px) is a
-            # LOSSLESS transfer (Y of R=G=B=v is v; chroma is constant 128)
+            # LOSSLESS transfer (Y of R=G=B=v is v; chroma is constant
+            # 128); checked pre-pad so gray images pad one plane, not 3
             if (
-                (padded[:, :, 0] == padded[:, :, 1]).all()
-                and (padded[:, :, 1] == padded[:, :, 2]).all()
+                (px[:, :, 0] == px[:, :, 1]).all()
+                and (px[:, :, 1] == px[:, :, 2]).all()
             ):
                 im.fmt = "gray"
-                planes = (np.ascontiguousarray(padded[:, :, 0]),)
+                planes = (pad(np.ascontiguousarray(px[:, :, 0])),)
             else:
                 im.fmt = "yuv420"
-                planes = rgb_to_yuv420(padded)
+                planes = rgb_to_yuv420(pad(px))
         else:
             im.fmt = "rgb"
-            planes = (padded,)
+            planes = (pad(px),)
         return im, planes
 
     def _put(self, arr: np.ndarray, replicated: bool = False):
@@ -620,12 +664,11 @@ class DevicePipeline:
                     mask = unpack_mask(packed_np[im.row], w_full)[: im.rh, : im.rw]
                 return det_candidates(mask, cfg.det)
 
-            if len(ch.idxs) > 1:
-                cands = list(self._host_pool.map(_cands, ch.idxs))
-            else:
-                cands = [_cands(i) for i in ch.idxs]
-            for i, c in zip(ch.idxs, cands):
-                imgs[i].cands = c
+            # serial on purpose: one host core — a thread pool only adds
+            # switch latency (the C++ call releases the GIL, so the fetch
+            # and upload threads still overlap this loop)
+            for i in ch.idxs:
+                imgs[i].cands = _cands(i)
             stats["t_contours"] += time.perf_counter() - t
 
             t = time.perf_counter()
@@ -820,63 +863,89 @@ class DevicePipeline:
                         (c, s, k, s * step, float(natural), wmax)
                     )
         handles = []
-        for bw, items in sorted(by_width.items()):
-            rows, rec_widths, cls_widths = [], [], []
-            fwd_h, flip_h, cls_h = [], [], []
-            for (c, s, k, x0, natural, w_eff) in items:
-                rows.append(imgs[c.img_i].row)
-                rec_widths.append(w_eff)
-                cls_widths.append(
-                    min(cw, int(math.ceil(ch_h * c.crop_w / c.crop_h)))
+        for bw, bucket_items in sorted(by_width.items()):
+            # axis-aligned quads take the separable MXU warp; rotated
+            # quads keep the gather warp (two sub-batches, same fwd)
+            split: dict[bool, list[tuple]] = {True: [], False: []}
+            for e in bucket_items:
+                split[_is_aligned(e[0].quad)].append(e)
+            for aligned, items in split.items():
+                if not items:
+                    continue
+                rows, rec_widths, cls_widths = [], [], []
+                fwd_g, flip_g, cls_g = [], [], []
+                for (c, s, k, x0, natural, w_eff) in items:
+                    rows.append(imgs[c.img_i].row)
+                    rec_widths.append(w_eff)
+                    cls_widths.append(
+                        min(cw, int(math.ceil(ch_h * c.crop_w / c.crop_h)))
+                    )
+                    if k == 1:
+                        sub = c.quad
+                        sub_m = c.quad
+                    else:
+                        sub = self._sub_quad(c.quad, x0, x0 + bw, natural)
+                        # flipped reading of segment s == 180-rotated
+                        # sampling of the mirrored segment (uniform spacing
+                        # is symmetric: x0_mirror = natural - bw - x0)
+                        sub_m = self._sub_quad(
+                            c.quad, natural - bw - x0, natural - x0, natural
+                        )
+                    seg_w = w_eff if k == 1 else bw
+                    if aligned:
+                        cls_g.append(
+                            _aligned_scal(c.quad, cls_widths[-1], ch_h, False)
+                        )
+                        fwd_g.append(_aligned_scal(sub, seg_w, rh, False))
+                        flip_g.append(_aligned_scal(sub_m, seg_w, rh, True))
+                    else:
+                        cls_g.append(
+                            self._quad_homog(c.quad, cls_widths[-1], ch_h)
+                        )
+                        fwd_g.append(self._quad_homog(sub, seg_w, rh))
+                        flip_g.append(
+                            self._quad_homog(sub_m, seg_w, rh, rot180=True)
+                        )
+                cls_geo = np.asarray(cls_g, np.float32)
+                rec_geo = np.asarray(fwd_g, np.float32)
+                rec_flips = np.asarray(flip_g, np.float32)
+                nb = self._batch_bucket(len(items), bk.rec_batch_buckets)
+                if nb > len(items):
+                    pad = nb - len(items)
+                    if aligned:
+                        filler = np.tile(
+                            np.asarray([[0.0, 1.0, 0.0, 1.0]], np.float32),
+                            (pad, 1),
+                        )
+                    else:
+                        filler = np.tile(
+                            np.eye(3, dtype=np.float32)[None], (pad, 1, 1)
+                        )
+                    cls_geo = np.concatenate([cls_geo, filler])
+                    rec_geo = np.concatenate([rec_geo, filler])
+                    rec_flips = np.concatenate([rec_flips, filler])
+                    rec_widths = rec_widths + [1] * pad
+                    cls_widths = cls_widths + [1] * pad
+                    rows = rows + [0] * pad
+                self.metrics.record_batch("rec_batch", len(items), nb)
+                self.metrics.record_batch(
+                    f"rec_width_{bw}", int(sum(rec_widths[: len(items)])),
+                    bw * len(items),
                 )
-                cls_h.append(self._quad_homog(c.quad, cls_widths[-1], ch_h))
-                if k == 1:
-                    fwd_h.append(self._quad_homog(c.quad, w_eff, rh))
-                    flip_h.append(
-                        self._quad_homog(c.quad, w_eff, rh, rot180=True)
-                    )
-                else:
-                    sub = self._sub_quad(c.quad, x0, x0 + bw, natural)
-                    # flipped reading of segment s == 180-rotated sampling
-                    # of the mirrored segment (uniform spacing is
-                    # symmetric: x0_mirror = natural - bw - x0)
-                    sub_m = self._sub_quad(
-                        c.quad, natural - bw - x0, natural - x0, natural
-                    )
-                    fwd_h.append(self._quad_homog(sub, bw, rh))
-                    flip_h.append(self._quad_homog(sub_m, bw, rh, rot180=True))
-            cls_homogs = np.stack(cls_h)
-            rec_homogs = np.stack(fwd_h)
-            rec_flips = np.stack(flip_h)
-            nb = self._batch_bucket(len(items), bk.rec_batch_buckets)
-            if nb > len(items):
-                pad = nb - len(items)
-                eye = np.tile(np.eye(3, dtype=np.float32)[None], (pad, 1, 1))
-                cls_homogs = np.concatenate([cls_homogs, eye])
-                rec_homogs = np.concatenate([rec_homogs, eye])
-                rec_flips = np.concatenate([rec_flips, eye])
-                rec_widths = rec_widths + [1] * pad
-                cls_widths = cls_widths + [1] * pad
-                rows = rows + [0] * pad
-            self.metrics.record_batch("rec_batch", len(items), nb)
-            self.metrics.record_batch(
-                f"rec_width_{bw}", int(sum(rec_widths[: len(items)])),
-                bw * len(items),
-            )
-            stats["dispatches"] += 1
-            handle = self._clsrec_fwd(
-                self._params["cls"],
-                self._params["rec"],
-                ch.rgb,
-                self._put(np.asarray(rows, np.int32)),
-                self._put(cls_homogs),
-                self._put(np.asarray(cls_widths, np.int32)),
-                self._put(rec_homogs),
-                self._put(rec_flips),
-                self._put(np.asarray(rec_widths, np.int32)),
-                ch.valids_src,
-                out_w=bw,
-                use_cls=bool(cfg.use_cls),
-            )
-            handles.append((items, handle))
+                stats["dispatches"] += 1
+                handle = self._clsrec_fwd(
+                    self._params["cls"],
+                    self._params["rec"],
+                    ch.rgb,
+                    self._put(np.asarray(rows, np.int32)),
+                    self._put(cls_geo),
+                    self._put(np.asarray(cls_widths, np.int32)),
+                    self._put(rec_geo),
+                    self._put(rec_flips),
+                    self._put(np.asarray(rec_widths, np.int32)),
+                    ch.valids_src,
+                    out_w=bw,
+                    use_cls=bool(cfg.use_cls),
+                )
+                handles.append((items, handle))
         return handles
