@@ -124,7 +124,7 @@ def bench_full_pipeline(weights_dir: Path) -> dict:
     # (tools/tunnel_probe*.py); the best iteration is the least-polluted
     # estimate of chip+pipeline capability
     rates = []
-    for _ in range(4):
+    for _ in range(6):
         t0 = time.perf_counter()
         out = dp.run_many(pages)
         rates.append(len(out) / (time.perf_counter() - t0))
