@@ -66,6 +66,14 @@ def _build_session(args):
     cfg = SessionConfig()
     if getattr(args, "transfer", None):
         cfg.engine.transfer_format = args.transfer
+    if getattr(args, "hf_hub", False):
+        # reference CLI's use_hf_hub (main.rs:46-66): pull the PP-OCRv4
+        # artifact set and run the reference's own models
+        from .weights.hub import load_ppocr_onnx_engine
+
+        cfg.mode = PipelineMode(args.mode)
+        engine, chars = load_ppocr_onnx_engine()
+        return RettoSession(cfg, engine=engine, charset=chars)
     cfg.mode = PipelineMode(args.mode)
     if args.limit_side_len:
         cfg.det.limit_side_len = args.limit_side_len
@@ -100,7 +108,11 @@ def cmd_ocr(args) -> int:
         return 1
     print(f"Found {len(files)} files, processing...", file=sys.stderr)
 
-    session = _build_session(args)
+    try:
+        session = _build_session(args)
+    except RettoError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     runner = session.device_pipeline() if args.device_pipeline else session
 
     out_f = open(args.json_out, "w", encoding="utf-8") if args.json_out else None
@@ -242,6 +254,9 @@ def main(argv: list[str] | None = None) -> int:
     ocr.add_argument("--transfer", default=None,
                      choices=["rgb", "yuv420"],
                      help="host->device image transfer format")
+    ocr.add_argument("--hf-hub", action="store_true",
+                     help="fetch + run the reference's PP-OCRv4 ONNX "
+                          "artifacts (reference: use_hf_hub; needs network)")
     ocr.add_argument("--json-out", default=None, help="write JSONL results")
     ocr.add_argument("--full", action="store_true",
                      help="include boxes/labels in JSON output")

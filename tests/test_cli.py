@@ -81,3 +81,14 @@ def test_ocr_device_pipeline_streams_batches(tmp_path):
     lines = [json.loads(l) for l in out.read_text().splitlines()]
     assert len(lines) == 3
     assert not any(l["file"].endswith("bad.png") for l in lines)
+
+
+def test_ocr_hf_hub_offline_error(tmp_path):
+    """--hf-hub (reference use_hf_hub flag) degrades to a clean error in
+    offline environments instead of a traceback."""
+    img = np.zeros((64, 64, 3), np.uint8)
+    Image.fromarray(img).save(tmp_path / "a.png")
+    r = run_cli(["ocr", str(tmp_path), "--hf-hub"])
+    assert r.returncode == 1
+    assert "error:" in r.stderr
+    assert "Traceback" not in r.stderr
