@@ -34,14 +34,17 @@ def _apply_device_flags(args) -> None:
     clap flags choosing the execution provider + ordinal).  Here they pick
     the JAX platform and the default device ordinal."""
     device = getattr(args, "device", "auto")
-    if device and device != "auto":
+    if device == "cpu":
         import jax
 
         try:
-            jax.config.update("jax_platforms", device)
+            jax.config.update("jax_platforms", "cpu")
         except RuntimeError as e:  # backend already initialized
             print(f"warning: cannot switch device to {device}: {e}",
                   file=sys.stderr)
+    # "tpu"/"auto" keep the default platform resolution: the accelerator
+    # platform name varies by runtime (e.g. 'tpu' vs this environment's
+    # tunneled 'axon'), and jax picks the accelerator first by default
     device_id = getattr(args, "device_id", 0)
     if device_id:
         import jax
