@@ -59,6 +59,16 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
     ]
+    lib.rt_det_candidates_batch.restype = ctypes.c_int
+    lib.rt_det_candidates_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),  # packed [b, ph, pw]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # b, ph, pw
+        ctypes.c_int,  # row_packed
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int,  # min_mini_box_size, max_candidates
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,  # max_boxes_per_img
+    ]
     lib.rt_det_finalize.restype = ctypes.c_int
     lib.rt_det_finalize.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -161,3 +171,39 @@ def det_finalize_native(
         scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_boxes,
     )
     return boxes[:n].copy(), scores[:n].copy()
+
+
+def det_candidates_batch_native(
+    packed: np.ndarray,
+    heights,
+    widths,
+    row_packed: bool,
+    min_mini_box_size: int,
+    max_candidates: int,
+    max_boxes: int = 1024,
+) -> list[np.ndarray] | None:
+    """Candidates for a whole det chunk straight from the packed 1-bit
+    masks (no numpy unpack, one GIL-released call — the DevicePipeline hot
+    phase on the single-core host).  packed: [b, ph, pw] u8; layout per
+    ``row_packed`` (ops.pallas.db_pack vs ops.db_post).  Returns one
+    [n_i, 4, 2] float32 array per image, or None without a compiler."""
+    lib = _load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, np.uint8)
+    b, ph, pw = packed.shape
+    hs = np.ascontiguousarray(heights, np.int32)
+    ws = np.ascontiguousarray(widths, np.int32)
+    boxes = np.zeros((b, max_boxes, 4, 2), np.float32)
+    counts = np.zeros((b,), np.int32)
+    lib.rt_det_candidates_batch(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        b, ph, pw, int(bool(row_packed)),
+        hs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ws.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(min_mini_box_size), int(max_candidates),
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_boxes,
+    )
+    return [boxes[k, : counts[k]].copy() for k in range(b)]

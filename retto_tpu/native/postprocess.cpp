@@ -590,4 +590,46 @@ int rt_det_postprocess(const float* pred, const uint8_t* mask, int h, int w,
   return out_n;
 }
 
+
+// Batched candidates over a whole det chunk, reading the device's packed
+// 1-bit masks directly: ONE GIL-released call per chunk instead of
+// per-image unpack + call round trips (the host has a single core; every
+// Python<->C bounce during the pipeline's hot phase is throughput).
+// packed: [b, ph, pw] u8.  row_packed != 0 -> [H/8, W] layout (Pallas
+// kernel, bit r of packed[g][x] is row 8g+r, MSB first); otherwise
+// [H, ceil(W/8)] with bits along x.  hs/ws give each image's valid mask
+// size.  Boxes go to out_boxes[k * max_boxes_per_img * 8 ...]; counts to
+// out_counts[k].
+int rt_det_candidates_batch(const uint8_t* packed, int b, int ph, int pw,
+                            int row_packed, const int32_t* hs,
+                            const int32_t* ws, int min_mini_box_size,
+                            int max_candidates, float* out_boxes,
+                            int32_t* out_counts, int max_boxes_per_img) {
+  std::vector<uint8_t> buf;
+  for (int k = 0; k < b; k++) {
+    int h = hs[k], w = ws[k];
+    buf.assign((size_t)h * w, 0);
+    const uint8_t* src0 = packed + (size_t)k * ph * pw;
+    if (row_packed) {
+      for (int y = 0; y < h; y++) {
+        const uint8_t* src = src0 + (size_t)(y >> 3) * pw;
+        uint8_t bit = (uint8_t)(1u << (7 - (y & 7)));
+        uint8_t* dst = buf.data() + (size_t)y * w;
+        for (int x = 0; x < w; x++) dst[x] = (src[x] & bit) ? 1 : 0;
+      }
+    } else {
+      for (int y = 0; y < h; y++) {
+        const uint8_t* src = src0 + (size_t)y * pw;
+        uint8_t* dst = buf.data() + (size_t)y * w;
+        for (int x = 0; x < w; x++)
+          dst[x] = (uint8_t)((src[x >> 3] >> (7 - (x & 7))) & 1);
+      }
+    }
+    out_counts[k] = rt_det_candidates(
+        buf.data(), h, w, min_mini_box_size, max_candidates,
+        out_boxes + (size_t)k * max_boxes_per_img * 8, max_boxes_per_img);
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -655,20 +655,32 @@ class DevicePipeline:
             t = time.perf_counter()
             dh_full, w_full = ch.key[2], ch.key[3]
             row_packed = packed_np.shape[1] != dh_full  # pallas layout
+            # whole chunk in ONE GIL-released C++ call, reading the packed
+            # bits directly (single host core: Python<->C bounces and
+            # numpy unpacks in this phase are throughput)
+            from ..native import det_candidates_batch_native
 
-            def _cands(i: int) -> np.ndarray:
-                im = imgs[i]
-                if row_packed:
-                    mask = unpack_rows(packed_np[im.row], im.rh, im.rw)
-                else:
-                    mask = unpack_mask(packed_np[im.row], w_full)[: im.rh, : im.rw]
-                return det_candidates(mask, cfg.det)
-
-            # serial on purpose: one host core — a thread pool only adds
-            # switch latency (the C++ call releases the GIL, so the fetch
-            # and upload threads still overlap this loop)
-            for i in ch.idxs:
-                imgs[i].cands = _cands(i)
+            outs = det_candidates_batch_native(
+                packed_np[: len(ch.idxs)],
+                [imgs[i].rh for i in ch.idxs],
+                [imgs[i].rw for i in ch.idxs],
+                row_packed,
+                cfg.det.min_mini_box_size,
+                cfg.det.max_candidates,
+            )
+            if outs is None:  # no compiler: numpy fallback per image
+                outs = []
+                for i in ch.idxs:
+                    im = imgs[i]
+                    if row_packed:
+                        mask = unpack_rows(packed_np[im.row], im.rh, im.rw)
+                    else:
+                        mask = unpack_mask(packed_np[im.row], w_full)[
+                            : im.rh, : im.rw
+                        ]
+                    outs.append(det_candidates(mask, cfg.det))
+            for i, c in zip(ch.idxs, outs):
+                imgs[i].cands = c
             stats["t_contours"] += time.perf_counter() - t
 
             t = time.perf_counter()

@@ -71,3 +71,46 @@ def test_native_rotated_component():
     cb, cs = det_postprocess(pred, mask, cfg, 200, 200, backend="native")
     assert len(nb) == len(cb) == 1
     np.testing.assert_allclose(cb, nb, atol=2.0)
+
+
+def test_candidates_batch_packed_parity():
+    """rt_det_candidates_batch must equal unpack + per-image candidates
+    for both packed layouts (ops.db_post column bits, ops.pallas row bits)."""
+    from retto_tpu.config import DetConfig
+    from retto_tpu.native import (
+        det_candidates_batch_native,
+        det_candidates_native,
+    )
+    from retto_tpu.ops.db_post import unpack_mask
+    from retto_tpu.ops.pallas.db_pack import unpack_rows
+
+    if det_candidates_native(np.zeros((8, 8), bool), 3, 10) is None:
+        pytest.skip("no native backend")
+    rng = np.random.default_rng(11)
+    cfg = DetConfig()
+    b, H, W = 3, 128, 192
+    masks = rng.random((b, H, W)) < 0.02
+    for k in range(b):  # add solid blocks so real candidates exist
+        masks[k, 30 + k : 60 + k, 20 : 120 + 10 * k] = True
+    hs = [120, 128, 100]
+    ws = [180, 192, 160]
+
+    # column-packed [H, ceil(W/8)]
+    col = np.stack([np.packbits(m, axis=1) for m in masks])
+    got = det_candidates_batch_native(col, hs, ws, False, cfg.min_mini_box_size,
+                                      cfg.max_candidates)
+    for k in range(b):
+        ref_mask = unpack_mask(col[k], W)[: hs[k], : ws[k]]
+        ref = det_candidates_native(ref_mask, cfg.min_mini_box_size,
+                                    cfg.max_candidates)
+        np.testing.assert_array_equal(got[k], ref)
+
+    # row-packed [H/8, W]
+    row = np.stack([np.packbits(m, axis=0) for m in masks])
+    got = det_candidates_batch_native(row, hs, ws, True, cfg.min_mini_box_size,
+                                      cfg.max_candidates)
+    for k in range(b):
+        ref_mask = unpack_rows(row[k], hs[k], ws[k])
+        ref = det_candidates_native(ref_mask, cfg.min_mini_box_size,
+                                    cfg.max_candidates)
+        np.testing.assert_array_equal(got[k], ref)
