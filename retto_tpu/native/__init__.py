@@ -69,6 +69,8 @@ def _load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int,  # max_boxes_per_img
     ]
+    lib.rt_is_gray.restype = ctypes.c_int
+    lib.rt_is_gray.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
     lib.rt_det_finalize.restype = ctypes.c_int
     lib.rt_det_finalize.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -207,3 +209,21 @@ def det_candidates_batch_native(
         max_boxes,
     )
     return [boxes[k, : counts[k]].copy() for k in range(b)]
+
+
+def is_gray_native(img: np.ndarray) -> bool | None:
+    """One-pass R==G==B test for an interleaved HWC u8 image (the
+    DevicePipeline transfer-format probe); None without a compiler."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rt_is_gray"):
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        return None
+    return bool(
+        lib.rt_is_gray(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(h * w),
+        )
+    )

@@ -632,4 +632,26 @@ int rt_det_candidates_batch(const uint8_t* packed, int b, int ph, int pw,
   return 0;
 }
 
+
+// One-pass grayscale test for an interleaved RGB u8 image (R==G==B for
+// every pixel).  The numpy equivalent costs two full-image comparison
+// passes under the GIL; this is the per-image transfer-format probe in
+// DevicePipeline._decode_one.
+int rt_is_gray(const uint8_t* rgb, int64_t n_px) {
+  int64_t i = 0;
+  for (; i + 4 <= n_px; i += 4) {  // modest unroll; -O3 vectorizes
+    const uint8_t* p = rgb + i * 3;
+    uint8_t d = (uint8_t)((p[0] ^ p[1]) | (p[1] ^ p[2]) |
+                          (p[3] ^ p[4]) | (p[4] ^ p[5]) |
+                          (p[6] ^ p[7]) | (p[7] ^ p[8]) |
+                          (p[9] ^ p[10]) | (p[10] ^ p[11]));
+    if (d) return 0;
+  }
+  for (; i < n_px; i++) {
+    const uint8_t* p = rgb + i * 3;
+    if ((p[0] ^ p[1]) | (p[1] ^ p[2])) return 0;
+  }
+  return 1;
+}
+
 }  // extern "C"

@@ -475,10 +475,15 @@ class DevicePipeline:
             # truly grayscale input -> a single luma plane (1 B/px) is a
             # LOSSLESS transfer (Y of R=G=B=v is v; chroma is constant
             # 128); checked pre-pad so gray images pad one plane, not 3
-            if (
-                (px[:, :, 0] == px[:, :, 1]).all()
-                and (px[:, :, 1] == px[:, :, 2]).all()
-            ):
+            from ..native import is_gray_native
+
+            gray = is_gray_native(px)
+            if gray is None:  # no compiler: numpy fallback
+                gray = bool(
+                    (px[:, :, 0] == px[:, :, 1]).all()
+                    and (px[:, :, 1] == px[:, :, 2]).all()
+                )
+            if gray:
                 im.fmt = "gray"
                 planes = (pad(np.ascontiguousarray(px[:, :, 0])),)
             else:

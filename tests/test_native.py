@@ -114,3 +114,18 @@ def test_candidates_batch_packed_parity():
         ref = det_candidates_native(ref_mask, cfg.min_mini_box_size,
                                     cfg.max_candidates)
         np.testing.assert_array_equal(got[k], ref)
+
+
+def test_is_gray_native():
+    from retto_tpu.native import is_gray_native
+
+    rng = np.random.default_rng(12)
+    g = np.repeat(rng.integers(0, 255, (33, 47, 1), np.uint8), 3, axis=2)
+    c = g.copy()
+    c[20, 11, 2] ^= 1  # single off-by-one chroma pixel
+    got_g = is_gray_native(g)
+    got_c = is_gray_native(c)
+    if got_g is None:
+        pytest.skip("no native backend")
+    assert got_g is True
+    assert got_c is False
