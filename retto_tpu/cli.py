@@ -168,8 +168,13 @@ def cmd_ocr(args) -> int:
                     runner.stream([[f.read_bytes() for f in g] for g in groups]),
                 ):
                     for f, res in zip(group, results):
-                        emit(f, res)
                         emitted.add(f)
+                        if isinstance(res, RettoError):
+                            # per-image isolation inside the fused path:
+                            # the bad image fills its slot with the error
+                            print(f"{f}: ERROR {res}", file=sys.stderr)
+                            continue
+                        emit(f, res)
                         n_ok += 1
         except RettoError:
             # a poisoned batch kills the stream; finish the rest with

@@ -48,6 +48,7 @@ plan).
 
 from __future__ import annotations
 
+import logging
 import math
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -59,6 +60,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SessionConfig
+from ..errors import RettoError
 from ..geometry import PointBox, scale_and_clip
 from ..image.io import ImageHelper, decode_image, perspective_coeffs
 from ..image.warp import warp_crops_multi, warp_crops_separable
@@ -80,6 +82,8 @@ from ..results import (
 from .stages import _bucket_up, _next_bucket, det_input_dims
 
 __all__ = ["DevicePipeline"]
+
+logger = logging.getLogger("retto_tpu.device_pipeline")
 
 
 def _bilinear_matrix(src_valid, dst_valid, src_size: int, dst_size: int):
@@ -437,7 +441,23 @@ class DevicePipeline:
 
     # ------------------------------------------------------------------ #
     def run(self, data: bytes | np.ndarray) -> OcrResult:
-        return self.run_many([data])[0]
+        res = self.run_many([data])[0]
+        if isinstance(res, RettoError):
+            raise res
+        return res
+
+    def close(self) -> None:
+        """Shut down the host thread pools.  Idempotent; after close() the
+        pipeline cannot run (long-lived processes and test suites that
+        build many sessions would otherwise leak 3 threads per instance)."""
+        self._upload_pool.shutdown(wait=True)
+        self._fetch_pool.shutdown(wait=True)
+
+    def __enter__(self) -> "DevicePipeline":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     # ------------------------------------------------------------------ #
     def _decode_one(
@@ -511,14 +531,15 @@ class DevicePipeline:
         chunk: _Chunk,
         imgs: list[_Img],
         pixels: list[tuple[np.ndarray, ...]],
-        stats: dict,
+        nb: int,
     ):
         """Runs on the upload thread: stack the pre-padded planes, ship,
-        and dispatch the det forward.  Returns device handles (dispatch is
-        async; nothing here blocks on compute)."""
+        and dispatch the det forward.  Returns device handles plus the
+        bytes-uploaded count (dispatch is async; nothing here blocks on
+        compute).  Counters are RETURNED, not written into the shared stats
+        dict — the main thread also mutates it and dict += is not atomic
+        across threads."""
         hp, wp, dh, dw, fmt = chunk.key
-        nb = self._batch_bucket(len(chunk.idxs), self.cfg.buckets.det_batch_buckets)
-        self.metrics.record_batch("det_batch", len(chunk.idxs), nb)
         n_planes = len(pixels[0])
         planes_np = []
         for p in range(n_planes):
@@ -535,8 +556,7 @@ class DevicePipeline:
             valids_det[k] = (im.rh, im.rw)
         vs = self._put(valids_src)
         vd = self._put(valids_det)
-        stats["bytes_up"] += sum(int(p.nbytes) for p in planes)
-        stats["dispatches"] += 1
+        bytes_up = sum(int(p.nbytes) for p in planes)
         packed, prob_small, rgb = self._det_fwd(
             self._params["det"], planes, vs, vd, dh=dh, dw=dw, fmt=fmt
         )
@@ -551,10 +571,15 @@ class DevicePipeline:
         fetch_fut = self._fetch_pool.submit(
             jax.device_get, (packed, prob_small)
         )
-        return fetch_fut, rgb, vs
+        return fetch_fut, rgb, vs, bytes_up
 
     # ------------------------------------------------------------------ #
-    def run_many(self, inputs: Sequence[bytes | np.ndarray]) -> list[OcrResult]:
+    def run_many(
+        self, inputs: Sequence[bytes | np.ndarray]
+    ) -> list[OcrResult | RettoError]:
+        """Fused batch run.  Per-image decode failures fill their result
+        slot with the error object (failure isolation, SURVEY.md §5) —
+        the rest of the batch proceeds normally."""
         return self._finish(self._prepare(inputs))
 
     def stream(self, batches):
@@ -604,21 +629,34 @@ class DevicePipeline:
             ch = _Chunk(key, idxs)
             for k, i in enumerate(idxs):
                 imgs[i].row = k
+            nb = self._batch_bucket(len(idxs), bk.det_batch_buckets)
+            self.metrics.record_batch("det_batch", len(idxs), nb)
+            stats["dispatches"] += 1
             ch.upload_fut = self._upload_pool.submit(
                 self._upload_and_det,
                 ch,
                 [imgs[i] for i in idxs],
                 [pixels[i] for i in idxs],
-                stats,
+                nb,
             )
             chunks.append(ch)
 
+        errors: dict[int, RettoError] = {}
         t = time.perf_counter()
         for data in inputs:
-            im, planes = self._decode_one(data)
+            i = len(imgs)
+            try:
+                im, planes = self._decode_one(data)
+            except RettoError as e:
+                # per-image isolation (SURVEY.md §5): a corrupt input fills
+                # an error slot instead of killing the whole batch
+                logger.warning("device_pipeline: image %d failed: %s", i, e)
+                errors[i] = e
+                imgs.append(None)
+                pixels.append(None)
+                continue
             imgs.append(im)
             pixels.append(planes)
-            i = len(imgs) - 1
             hp = _bucket_up(im.ah, bk.upload_pad_to, 1 << 30)
             wp = _bucket_up(im.aw, bk.upload_pad_to, 1 << 30)
             dh = _bucket_up(im.rh, bk.det_pad_to, bk.det_max_side)
@@ -631,7 +669,8 @@ class DevicePipeline:
             flush(key, idxs)
         stats["chunks"] = len(chunks)
         stats["t_decode"] = time.perf_counter() - t
-        return {"imgs": imgs, "chunks": chunks, "stats": stats, "t0": t0}
+        return {"imgs": imgs, "chunks": chunks, "stats": stats, "t0": t0,
+                "errors": errors}
 
     def _finish(self, state: dict) -> list[OcrResult]:
         cfg = self.cfg
@@ -649,8 +688,9 @@ class DevicePipeline:
 
         def process_chunk(ch: _Chunk) -> None:
             t = time.perf_counter()
-            fetch_fut, rgb, vs = ch.upload_fut.result()
+            fetch_fut, rgb, vs, bytes_up = ch.upload_fut.result()
             stats["t_upload_wait"] += time.perf_counter() - t
+            stats["bytes_up"] += bytes_up
             ch.rgb, ch.valids_src = rgb, vs
             t = time.perf_counter()
             packed_np, prob_np = fetch_fut.result()
@@ -782,8 +822,12 @@ class DevicePipeline:
                 rec_texts[key] = RecText(text=text, score=float(sc))
         stats["t_clsrec_fetch"] = time.perf_counter() - t
 
-        out: list[OcrResult] = []
+        errors: dict[int, RettoError] = state.get("errors", {})
+        out: list[OcrResult | RettoError] = []
         for i, im in enumerate(imgs):
+            if im is None:
+                out.append(errors[i])
+                continue
             boxes_ori = scale_and_clip(im.boxes, im.aw, im.ah, im.ori_w, im.ori_h)
             det_res = DetResult(
                 [DetBox(PointBox(b), float(s)) for b, s in zip(boxes_ori, im.scores)]

@@ -104,6 +104,19 @@ class RettoSession:
             )
         return self._device_pipeline
 
+    def close(self) -> None:
+        """Release host-side resources (the fused pipeline's thread pools).
+        Idempotent; safe when no device pipeline was ever built."""
+        if self._device_pipeline is not None:
+            self._device_pipeline.close()
+            self._device_pipeline = None
+
+    def __enter__(self) -> "RettoSession":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # ------------------------------------------------------------------ #
     def _resolve_charset(self, charset) -> CharacterDict:
         if isinstance(charset, CharacterDict):

@@ -27,6 +27,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .errors import RettoError
@@ -45,7 +46,8 @@ class MicroBatcher:
     is retried image-by-image.
     """
 
-    def __init__(self, runner, max_batch: int = 16, max_wait_ms: float = 5.0):
+    def __init__(self, runner, max_batch: int = 16, max_wait_ms: float = 5.0,
+                 run_lock: threading.Lock | None = None):
         self.runner = runner
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
@@ -53,20 +55,41 @@ class MicroBatcher:
         self.batches = 0
         self.images = 0
         self._stopped = False
+        # when the runner is the staged session itself, this lock is shared
+        # with the /ocr/stream path so the session's jitted stages and
+        # metrics are never driven from two threads at once
+        self.run_lock = run_lock if run_lock is not None else threading.Lock()
         self._thread = threading.Thread(
             target=self._loop, name="retto-microbatch", daemon=True
         )
         self._thread.start()
 
     def submit(self, data: bytes) -> Future:
-        fut: Future = Future()
+        if self._stopped:
+            fut: Future = Future()
+            fut.set_exception(RuntimeError("batcher stopped"))
+            return fut
+        fut = Future()
         self.queue.put((data, fut))
         return fut
 
     def stop(self) -> None:
+        """Stop the loop and fail everything still queued: a future that
+        never resolves hangs its /ocr client (and then server_close) forever.
+        """
         self._stopped = True
         self.queue.put(None)
         self._thread.join(timeout=5)
+        while True:
+            try:
+                item = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            _, fut = item
+            if not fut.done():
+                fut.set_exception(RuntimeError("server shutting down"))
 
     # ------------------------------------------------------------------ #
     def _collect(self) -> list[tuple[bytes, Future]]:
@@ -97,7 +120,8 @@ class MicroBatcher:
             self.images += len(batch)
             datas = [d for d, _ in batch]
             try:
-                results = self.runner.run_many(datas)
+                with self.run_lock:
+                    results = self.runner.run_many(datas)
                 for (_, fut), res in zip(batch, results):
                     # session.run_many isolates failures as exception
                     # objects in the result slots (session.py run_many)
@@ -108,7 +132,8 @@ class MicroBatcher:
             except Exception:  # noqa: BLE001 - isolate per image
                 for d, fut in batch:
                     try:
-                        fut.set_result(self.runner.run(d))
+                        with self.run_lock:
+                            fut.set_result(self.runner.run(d))
                     except Exception as e:  # noqa: BLE001
                         fut.set_exception(e)
 
@@ -149,7 +174,14 @@ def make_handler(session, batcher: MicroBatcher, stream_lock: threading.Lock):
                 return
             try:
                 if self.path == "/ocr":
-                    res = batcher.submit(data).result()
+                    try:
+                        # bounded wait: if the batcher thread died or the
+                        # server is shutting down, fail the request instead
+                        # of hanging the client (and server_close) forever
+                        res = batcher.submit(data).result(timeout=120.0)
+                    except FutureTimeoutError:
+                        self._send(503, b'{"error": "ocr timed out"}')
+                        return
                     self._send(200, res.to_json().encode("utf-8"))
                 elif self.path == "/ocr/stream":
                     self.send_response(200)
@@ -198,11 +230,21 @@ def make_server(
     port: int = 8471,
     max_batch: int = 16,
     max_wait_ms: float = 5.0,
-    use_device_pipeline: bool = True,
+    use_device_pipeline: bool | None = None,
 ):
     """Build the HTTP server.  ``use_device_pipeline`` routes /ocr through
     the fused fast path when the session has real models; the staged
-    session is the fallback runner (and always serves /ocr/stream)."""
+    session is the fallback runner (and always serves /ocr/stream).
+
+    The default (None) follows the session's configured mode: COMPAT
+    sessions serve /ocr via the staged path (the repo contract — COMPAT
+    reproduces the reference's observable behavior, exact box scores and
+    host resize included), PERFORMANCE sessions get the fused pipeline.
+    """
+    from .config import PipelineMode
+
+    if use_device_pipeline is None:
+        use_device_pipeline = session.config.mode == PipelineMode.PERFORMANCE
     runner = session
     if use_device_pipeline:
         try:
@@ -211,7 +253,11 @@ def make_server(
             logger.warning("serve: no device pipeline (custom engine); "
                            "micro-batching over the staged session")
     batcher = MicroBatcher(runner, max_batch=max_batch, max_wait_ms=max_wait_ms)
-    srv = _Server((host, port), make_handler(session, batcher, threading.Lock()))
+    # /ocr/stream always drives the staged session; when /ocr's batcher
+    # also runs the session (no fused pipeline), the two paths share the
+    # batcher's run lock so the session is single-threaded
+    stream_lock = batcher.run_lock if runner is session else threading.Lock()
+    srv = _Server((host, port), make_handler(session, batcher, stream_lock))
     srv.batcher = batcher
     return srv
 
