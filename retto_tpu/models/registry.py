@@ -17,14 +17,19 @@ from .svtr import RecModel
 __all__ = ["MODEL_PRESETS", "build_det", "build_cls", "build_rec"]
 
 MODEL_PRESETS: dict[str, dict[str, dict[str, Any]]] = {
+    # det presets use the dense-conv TpuBackbone + stride-2 head (r3
+    # rework — models/dbnet.py): every conv contraction >= 128 so the
+    # MXU is fed; channel widths chosen per tier
     "tiny": {
-        "det": dict(backbone_scale=0.25, inner_ch=32, head_ch=32),
+        "det": dict(widths=(32, 48, 64, 96), depths=(1, 1, 1, 1),
+                    inner_ch=64, head_ch=32),
         "cls": dict(scale=0.2),
         "rec": dict(dims=(32, 64, 96, 128), depths=(1, 1, 1, 1),
                     mixer_dim=64, mixer_depth=1, num_heads=4),
     },
     "mobile": {
-        "det": dict(backbone_scale=0.5, inner_ch=96, head_ch=96),
+        "det": dict(widths=(64, 128, 192, 256), depths=(1, 2, 2, 2),
+                    inner_ch=128, head_ch=64),
         # PP-OCR's cls ships at scale 0.35; ours trains at 0.5 — the extra
         # capacity is needed for orientation on blurred upscaled crops and
         # it is still <1M params
@@ -33,7 +38,8 @@ MODEL_PRESETS: dict[str, dict[str, dict[str, Any]]] = {
                     mixer_dim=120, mixer_depth=2, num_heads=8),
     },
     "server": {
-        "det": dict(backbone_scale=1.25, inner_ch=256, head_ch=256),
+        "det": dict(widths=(96, 192, 384, 512), depths=(2, 3, 3, 3),
+                    inner_ch=256, head_ch=128),
         "cls": dict(scale=0.35),
         "rec": dict(dims=(96, 192, 384, 768), depths=(3, 3, 6, 3),
                     mixer_dim=256, mixer_depth=4, num_heads=8),

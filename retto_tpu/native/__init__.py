@@ -71,6 +71,22 @@ def _load() -> ctypes.CDLL | None:
     ]
     lib.rt_is_gray.restype = ctypes.c_int
     lib.rt_is_gray.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.rt_det_chunk.restype = ctypes.c_int
+    lib.rt_det_chunk.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),  # packed [b, ph, pw]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # b,ph,pw,row_packed
+        ctypes.POINTER(ctypes.c_uint8),  # prob4 [b, p4h, p4w]
+        ctypes.c_int, ctypes.c_int,  # p4h, p4w
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),  # mhs, mws
+        ctypes.c_int,  # stride
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),  # rhs, rws
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),  # ahs, aws
+        ctypes.c_int, ctypes.c_int,  # min_sside, max_candidates
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,  # box_thresh, unclip, min_box
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,  # max_boxes_per_img
+    ]
     lib.rt_det_finalize.restype = ctypes.c_int
     lib.rt_det_finalize.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -209,6 +225,63 @@ def det_candidates_batch_native(
         max_boxes,
     )
     return [boxes[k, : counts[k]].copy() for k in range(b)]
+
+
+def det_chunk_native(
+    packed: np.ndarray,
+    row_packed: bool,
+    prob4: np.ndarray,
+    mask_sizes,  # [(mh, mw)] per image (det/stride)
+    stride: int,
+    bitmap_sizes,  # [(rh, rw)] det-res sizes
+    dest_sizes,  # [(ah, aw)] session sizes
+    min_sside: int,
+    max_candidates: int,
+    box_thresh: float,
+    unclip_ratio: float,
+    min_mini_box_size: int,
+    max_boxes: int = 1024,
+) -> list[tuple[np.ndarray, np.ndarray]] | None:
+    """Whole det-chunk postprocess (contours + pooled-map scoring +
+    finalize) in one GIL-released call; returns [(boxes, scores)] per image
+    in session coords, or None without a compiler."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rt_det_chunk"):
+        return None
+    packed = np.ascontiguousarray(packed, np.uint8)
+    prob4 = np.ascontiguousarray(prob4, np.uint8)
+    b, ph, pw = packed.shape
+    _, p4h, p4w = prob4.shape
+    mhs = np.ascontiguousarray([m[0] for m in mask_sizes], np.int32)
+    mws = np.ascontiguousarray([m[1] for m in mask_sizes], np.int32)
+    rhs = np.ascontiguousarray([r[0] for r in bitmap_sizes], np.int32)
+    rws = np.ascontiguousarray([r[1] for r in bitmap_sizes], np.int32)
+    ahs = np.ascontiguousarray([d[0] for d in dest_sizes], np.int32)
+    aws = np.ascontiguousarray([d[1] for d in dest_sizes], np.int32)
+    boxes = np.zeros((b, max_boxes, 4, 2), np.float32)
+    scores = np.zeros((b, max_boxes), np.float32)
+    counts = np.zeros((b,), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.rt_det_chunk(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        b, ph, pw, int(bool(row_packed)),
+        prob4.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        p4h, p4w,
+        mhs.ctypes.data_as(i32p), mws.ctypes.data_as(i32p),
+        int(stride),
+        rhs.ctypes.data_as(i32p), rws.ctypes.data_as(i32p),
+        ahs.ctypes.data_as(i32p), aws.ctypes.data_as(i32p),
+        int(min_sside), int(max_candidates),
+        float(box_thresh), float(unclip_ratio), int(min_mini_box_size),
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(i32p),
+        max_boxes,
+    )
+    return [
+        (boxes[k, : counts[k]].copy(), scores[k, : counts[k]].copy())
+        for k in range(b)
+    ]
 
 
 def is_gray_native(img: np.ndarray) -> bool | None:

@@ -633,6 +633,101 @@ int rt_det_candidates_batch(const uint8_t* packed, int b, int ph, int pw,
 }
 
 
+// Whole det-chunk postprocess in ONE GIL-released call (round-3 host-floor
+// work, VERDICT r2 item 3): unpack packed 1-bit masks -> contours ->
+// integer min-area rects (sside filter at mask scale) -> scale quads by
+// ``stride`` to det coords -> score on the 4x4-mean-pooled u8 prob map
+// (the bilinear 16x64-grid mean of device_pipeline._score_candidates) ->
+// finalize (threshold/unclip/re-rect/rescale/sort, rt_det_finalize
+// semantics).  Replaces three per-image Python loops on the single-core
+// host with one native pass per chunk.
+//
+// packed: [b, ph, pw] u8 (layout per row_packed, see
+// rt_det_candidates_batch).  prob4: [b, p4h, p4w] u8, det/4 grid.
+// mhs/mws: valid mask sizes (det/stride).  rhs/rws: det-res bitmap sizes.
+// ahs/aws: dest (session) sizes.  Boxes out in session coords.
+int rt_det_chunk(const uint8_t* packed, int b, int ph, int pw, int row_packed,
+                 const uint8_t* prob4, int p4h, int p4w,
+                 const int32_t* mhs, const int32_t* mws, int stride,
+                 const int32_t* rhs, const int32_t* rws,
+                 const int32_t* ahs, const int32_t* aws,
+                 int min_sside, int max_candidates, double box_thresh,
+                 double unclip_ratio, int min_mini_box_size,
+                 float* out_boxes, float* out_scores, int32_t* out_counts,
+                 int max_boxes_per_img) {
+  std::vector<uint8_t> buf;
+  std::vector<float> cands(max_boxes_per_img * 8);
+  std::vector<float> scores(max_boxes_per_img);
+  for (int k = 0; k < b; k++) {
+    int h = mhs[k], w = mws[k];
+    buf.assign((size_t)h * w, 0);
+    const uint8_t* src0 = packed + (size_t)k * ph * pw;
+    if (row_packed) {
+      for (int y = 0; y < h; y++) {
+        const uint8_t* src = src0 + (size_t)(y >> 3) * pw;
+        uint8_t bit = (uint8_t)(1u << (7 - (y & 7)));
+        uint8_t* dst = buf.data() + (size_t)y * w;
+        for (int x = 0; x < w; x++) dst[x] = (src[x] & bit) ? 1 : 0;
+      }
+    } else {
+      for (int y = 0; y < h; y++) {
+        const uint8_t* src = src0 + (size_t)y * pw;
+        uint8_t* dst = buf.data() + (size_t)y * w;
+        for (int x = 0; x < w; x++)
+          dst[x] = (uint8_t)((src[x >> 3] >> (7 - (x & 7))) & 1);
+      }
+    }
+    int n = rt_det_candidates(buf.data(), h, w, min_sside, max_candidates,
+                              cands.data(), max_boxes_per_img);
+    // scale quads to det coords
+    if (stride > 1)
+      for (int i = 0; i < n * 8; i++) cands[i] *= (float)stride;
+    // score each candidate on the pooled prob map: 16x64 bilinear grid
+    // over the quad (exact mirror of _score_candidates; f32 ops, double
+    // accumulation, mean/255)
+    const uint8_t* pm = prob4 + (size_t)k * p4h * p4w;
+    for (int i = 0; i < n; i++) {
+      float qx[4], qy[4];
+      for (int c = 0; c < 4; c++) {
+        qx[c] = cands[i * 8 + c * 2] / 4.0f - 0.375f;
+        qy[c] = cands[i * 8 + c * 2 + 1] / 4.0f - 0.375f;
+      }
+      double acc = 0.0;
+      for (int vi = 0; vi < 16; vi++) {
+        float vv = ((float)vi + 0.5f) / 16.0f;
+        for (int ui = 0; ui < 64; ui++) {
+          float uu = ((float)ui + 0.5f) / 64.0f;
+          float w00 = (1.0f - uu) * (1.0f - vv);
+          float w10 = uu * (1.0f - vv);
+          float w11 = uu * vv;
+          float w01 = (1.0f - uu) * vv;
+          float gx = w00 * qx[0] + w10 * qx[1] + w11 * qx[2] + w01 * qx[3];
+          float gy = w00 * qy[0] + w10 * qy[1] + w11 * qy[2] + w01 * qy[3];
+          float x = std::clamp(gx, 0.0f, (float)p4w - 1.001f);
+          float y = std::clamp(gy, 0.0f, (float)p4h - 1.001f);
+          int x0 = (int)std::floor(x);
+          int y0 = (int)std::floor(y);
+          float fx = x - (float)x0;
+          float fy = y - (float)y0;
+          const uint8_t* r0 = pm + (size_t)y0 * p4w + x0;
+          const uint8_t* r1 = r0 + p4w;
+          acc += (float)r0[0] * (1.0f - fx) * (1.0f - fy) +
+                 (float)r0[1] * fx * (1.0f - fy) +
+                 (float)r1[0] * (1.0f - fx) * fy + (float)r1[1] * fx * fy;
+        }
+      }
+      scores[i] = (float)(acc / 1024.0) / 255.0f;
+    }
+    out_counts[k] = rt_det_finalize(
+        cands.data(), scores.data(), n, box_thresh, unclip_ratio,
+        min_mini_box_size, rhs[k], rws[k], ahs[k], aws[k],
+        out_boxes + (size_t)k * max_boxes_per_img * 8,
+        out_scores + (size_t)k * max_boxes_per_img, max_boxes_per_img);
+  }
+  return 0;
+}
+
+
 // One-pass grayscale test for an interleaved RGB u8 image (R==G==B for
 // every pixel).  The numpy equivalent costs two full-image comparison
 // passes under the GIL; this is the per-image transfer-format probe in

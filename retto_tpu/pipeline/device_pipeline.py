@@ -304,6 +304,11 @@ class DevicePipeline:
             and jax.default_backend() not in ("cpu",)
             and os.environ.get("RETTO_PALLAS", "1") != "0"
         )
+        # DetModel emits its map at out_stride (2 by default: 4x fewer
+        # mask bytes over the link, 4x fewer host contour pixels); foreign
+        # modules (ONNX-bridge dets) emit at full resolution
+        det_stride = int(getattr(det_model, "out_stride", 1) or 1)
+        self._det_stride = det_stride
 
         def det_fwd(params, planes, valid_src, valid_det, dh, dw, fmt):
             """planes by ``fmt``: "rgb" (rgb_u8 [B,Hp,Wp,3]), "yuv420"
@@ -355,11 +360,17 @@ class DevicePipeline:
                 col < valid_det[:, 1, None, None, None]
             )
             x = jnp.where(inb, x, -1.0)  # bucket padding -> normalized black
-            pred = det_model.apply(params, jnp.transpose(x, (0, 3, 1, 2)))
+            x_nchw = jnp.transpose(x, (0, 3, 1, 2))
+            if det_stride > 1:
+                # raw stride-s map straight from the head (models/dbnet.py)
+                pred = det_model.apply(params, x_nchw, raw=True)
+            else:
+                pred = det_model.apply(params, x_nchw)
+            mh, mw = dh // det_stride, dw // det_stride
             dilate = det_cfg.use_dilation and det_cfg.dilation_kernel is not None
-            if use_pallas and dh % 64 == 0 and dw % 128 == 0:
+            if use_pallas and mh % 64 == 0 and mw % 128 == 0:
                 # fused Pallas binarize+dilate+bitpack (one VMEM pass; row-
-                # packed [B, dh/8, dw] — ops/pallas/db_pack.py)
+                # packed [B, mh/8, mw] — ops/pallas/db_pack.py)
                 packed = binarize_dilate_pack_rows_batch(
                     pred[:, 0], det_cfg.thresh, dilate
                 )
@@ -367,15 +378,16 @@ class DevicePipeline:
                 packed = jax.vmap(
                     lambda p: binarize_dilate_packed(p, det_cfg.thresh, dilate)
                 )(pred)
-            # 4x4-mean-pooled u8 prob map rides down WITH the mask so box
-            # scoring happens on the host with no extra round trip (a
-            # PERFORMANCE-mode approximation like the old 16x64 device
-            # resample; ~48 KB/img)
+            # mean-pooled u8 prob map on the det/4 grid rides down WITH the
+            # mask so box scoring happens on the host with no extra round
+            # trip (a PERFORMANCE-mode approximation like the old 16x64
+            # device resample; ~48 KB/img)
+            pf = max(4 // det_stride, 1)
             pool = jax.lax.reduce_window(
                 pred[:, 0], 0.0, jax.lax.add,
-                window_dimensions=(1, 4, 4), window_strides=(1, 4, 4),
+                window_dimensions=(1, pf, pf), window_strides=(1, pf, pf),
                 padding="VALID",
-            ) * (255.0 / 16.0)
+            ) * (255.0 / (pf * pf))
             prob_small = jnp.clip(jnp.rint(pool), 0, 255).astype(jnp.uint8)
             return packed, prob_small, rgb_u8
 
@@ -698,43 +710,59 @@ class DevicePipeline:
             stats["bytes_down"] += int(packed_np.nbytes) + int(prob_np.nbytes)
 
             t = time.perf_counter()
-            dh_full, w_full = ch.key[2], ch.key[3]
-            row_packed = packed_np.shape[1] != dh_full  # pallas layout
-            # whole chunk in ONE GIL-released C++ call, reading the packed
-            # bits directly (single host core: Python<->C bounces and
-            # numpy unpacks in this phase are throughput)
-            from ..native import det_candidates_batch_native
+            s = self._det_stride
+            mh_full, mw_full = ch.key[2] // s, ch.key[3] // s
+            row_packed = packed_np.shape[1] != mh_full  # pallas layout
+            # contours run on the stride-s mask (4x fewer pixels at s=2)
+            # and the candidate quads scale back to det coords; the sside
+            # filter scales with s (floor at 1: keep more candidates at
+            # coarse strides, the finalize filters still apply exactly)
+            min_sside = max(1, cfg.det.min_mini_box_size // s)
+            # the WHOLE chunk postprocess — unpack, contours, min-area
+            # rects, pooled-map scoring, unclip/finalize/sort — in ONE
+            # GIL-released C++ call (single host core: per-image Python
+            # loops in this phase are throughput; VERDICT r2 item 3)
+            from ..native import det_chunk_native
 
-            outs = det_candidates_batch_native(
-                packed_np[: len(ch.idxs)],
-                [imgs[i].rh for i in ch.idxs],
-                [imgs[i].rw for i in ch.idxs],
-                row_packed,
-                cfg.det.min_mini_box_size,
-                cfg.det.max_candidates,
+            nb = len(ch.idxs)
+            outs2 = det_chunk_native(
+                packed_np[:nb], row_packed, prob_np[:nb],
+                [(imgs[i].rh // s, imgs[i].rw // s) for i in ch.idxs], s,
+                [(imgs[i].rh, imgs[i].rw) for i in ch.idxs],
+                [(imgs[i].ah, imgs[i].aw) for i in ch.idxs],
+                min_sside, cfg.det.max_candidates, cfg.det.box_thresh,
+                cfg.det.unclip_ratio, cfg.det.min_mini_box_size,
             )
-            if outs is None:  # no compiler: numpy fallback per image
-                outs = []
+            if outs2 is not None:
+                for i, (bx, sc) in zip(ch.idxs, outs2):
+                    imgs[i].boxes, imgs[i].scores = bx, sc
+            else:  # no compiler: numpy fallback per image
+                import dataclasses as _dc
+
+                cfg_s = _dc.replace(cfg.det, min_mini_box_size=min_sside)
                 for i in ch.idxs:
                     im = imgs[i]
                     if row_packed:
-                        mask = unpack_rows(packed_np[im.row], im.rh, im.rw)
+                        mask = unpack_rows(
+                            packed_np[im.row], im.rh // s, im.rw // s
+                        )
                     else:
-                        mask = unpack_mask(packed_np[im.row], w_full)[
-                            : im.rh, : im.rw
+                        mask = unpack_mask(packed_np[im.row], mw_full)[
+                            : im.rh // s, : im.rw // s
                         ]
-                    outs.append(det_candidates(mask, cfg.det))
-            for i, c in zip(ch.idxs, outs):
-                imgs[i].cands = c
+                    cands = det_candidates(mask, cfg_s)
+                    if s > 1 and len(cands):
+                        cands = cands * float(s)
+                    im.cands = cands
+                    scores_i = _score_candidates(prob_np[im.row], cands)
+                    im.boxes, im.scores = det_finalize(
+                        cands, scores_i, cfg.det, im.rh, im.rw, im.ah, im.aw
+                    )
             stats["t_contours"] += time.perf_counter() - t
 
             t = time.perf_counter()
             for i in ch.idxs:
                 im = imgs[i]
-                scores_i = _score_candidates(prob_np[im.row], im.cands)
-                im.boxes, im.scores = det_finalize(
-                    im.cands, scores_i, cfg.det, im.rh, im.rw, im.ah, im.aw
-                )
                 for j, b in enumerate(im.boxes):
                     pb = PointBox(b)
                     w_crop = max(int(max(pb.width_brc(), pb.width_tlc())), 1)

@@ -197,16 +197,23 @@ def db_gt_device(boxes: jax.Array, size_h: int, size_w: int, shrink_ratio: float
     return shrink, tmap, tmask
 
 
-def gather_det_batch(data: DetDeviceData, idx: jax.Array):
+def gather_det_batch(data: DetDeviceData, idx: jax.Array, out_stride: int = 1):
     """[B] indices -> (x [B,3,S,S] det-normalized BGR, gt_shrink, gt_mask,
-    gt_thresh, gt_thresh_mask)."""
+    gt_thresh, gt_thresh_mask).  ``out_stride`` renders the GT maps at the
+    model's output stride (models/dbnet.py DetModel.out_stride): the boxes
+    scale by 1/s and the grid shrinks by s — same geometry, fewer pixels."""
     pages = data.pages[idx].astype(jnp.float32)
     bgr = pages[..., ::-1]
     x = (bgr / 255.0 - 0.5) / 0.5
     x = jnp.transpose(x, (0, 3, 1, 2))
     s_h, s_w = data.pages.shape[1], data.pages.shape[2]
+    boxes = data.boxes[idx]
+    if out_stride > 1:
+        valid = boxes[..., 2:3] > boxes[..., 0:1]  # padded rows stay -1
+        boxes = jnp.where(valid, boxes / out_stride, boxes)
+        s_h, s_w = s_h // out_stride, s_w // out_stride
     shrink, tmap, tmask = jax.vmap(
         partial(db_gt_device, size_h=s_h, size_w=s_w)
-    )(data.boxes[idx])
+    )(boxes)
     mask = jnp.ones_like(shrink)
     return x, shrink, mask, tmap, tmask

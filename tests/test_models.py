@@ -54,6 +54,16 @@ class TestDet:
         out = apply(params, jnp.zeros((1, 3, 64, 128), jnp.float32))
         assert out.shape == (1, 1, 64, 128)
 
+    def test_raw_stride_map(self, det_setup):
+        # raw=True skips the contract upsample: the fused pipeline reads
+        # the stride-s map directly (device_pipeline det_fwd)
+        model, params, _ = det_setup
+        raw = jax.jit(lambda p, x: model.apply(p, x, raw=True))(
+            params, jnp.zeros((1, 3, 96, 160), jnp.float32)
+        )
+        s = model.out_stride
+        assert raw.shape == (1, 1, 96 // s, 160 // s)
+
     def test_train_mode_returns_db_maps(self, det_setup):
         model, _, _ = det_setup
         x = jnp.zeros((1, 3, 64, 64), jnp.float32)
@@ -66,7 +76,10 @@ class TestDet:
 
         out = init_and_apply(x)
         assert set(out) == {"maps", "thresh", "binary"}
-        assert out["maps"].shape == (1, 1, 64, 64)
+        # train-mode maps come out at the head's out_stride (targets are
+        # rendered at the same stride — train/data.py gather_det_batch)
+        s = model.out_stride
+        assert out["maps"].shape == (1, 1, 64 // s, 64 // s)
 
 
 class TestCls:

@@ -116,6 +116,71 @@ def test_candidates_batch_packed_parity():
         np.testing.assert_array_equal(got[k], ref)
 
 
+def test_det_chunk_parity():
+    """rt_det_chunk (unpack + contours + pooled-map scoring + finalize in
+    one call) must match the per-image Python chain the DevicePipeline
+    falls back to: det_candidates -> *stride -> _score_candidates ->
+    det_finalize."""
+    import dataclasses
+
+    from retto_tpu.config import DetConfig
+    from retto_tpu.native import det_chunk_native
+    from retto_tpu.ops.det_postprocess import det_candidates, det_finalize
+    from retto_tpu.pipeline.device_pipeline import _score_candidates
+
+    rng = np.random.default_rng(21)
+    cfg = DetConfig()
+    stride = 2
+    b = 3
+    # det-res geometry: rh x rw; masks at stride-2; pooled prob at det/4
+    rhs = [256, 224, 256]
+    rws = [320, 320, 256]
+    ahs = [250, 210, 240]
+    aws = [310, 300, 250]
+    mh_pad, mw_pad = 128, 160
+    p4h, p4w = 64, 80
+    masks = np.zeros((b, mh_pad, mw_pad), bool)
+    prob4 = np.zeros((b, p4h, p4w), np.uint8)
+    for k in range(b):
+        mh, mw = rhs[k] // stride, rws[k] // stride
+        for _ in range(4):
+            x0 = int(rng.integers(0, mw - 30))
+            y0 = int(rng.integers(0, mh - 12))
+            bw = int(rng.integers(16, min(70, mw - x0)))
+            bh = int(rng.integers(5, min(14, mh - y0)))
+            masks[k, y0 : y0 + bh, x0 : x0 + bw] = True
+        # pooled prob: downsample the mask region roughly (values 0..255)
+        m = masks[k, :mh, :mw].astype(np.float32)
+        pool = m.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3)) * 230
+        prob4[k, : mh // 2, : mw // 2] = pool.astype(np.uint8)
+
+    col = np.stack([np.packbits(m, axis=1) for m in masks])
+    min_sside = max(1, cfg.min_mini_box_size // stride)
+    got = det_chunk_native(
+        col, False, prob4,
+        [(rhs[k] // stride, rws[k] // stride) for k in range(b)], stride,
+        list(zip(rhs, rws)), list(zip(ahs, aws)),
+        min_sside, cfg.max_candidates, cfg.box_thresh, cfg.unclip_ratio,
+        cfg.min_mini_box_size,
+    )
+    if got is None:
+        pytest.skip("no native backend")
+    cfg_s = dataclasses.replace(cfg, min_mini_box_size=min_sside)
+    for k in range(b):
+        mh, mw = rhs[k] // stride, rws[k] // stride
+        cands = det_candidates(masks[k, :mh, :mw], cfg_s)
+        if len(cands):
+            cands = cands * float(stride)
+        scores = _score_candidates(prob4[k], cands)
+        rb, rs = det_finalize(
+            cands, scores, cfg, rhs[k], rws[k], ahs[k], aws[k]
+        )
+        gb, gs = got[k]
+        assert gb.shape == rb.shape, (k, gb.shape, rb.shape)
+        np.testing.assert_allclose(gb, rb, atol=1.0)
+        np.testing.assert_allclose(gs, rs, atol=1e-4)
+
+
 def test_is_gray_native():
     from retto_tpu.native import is_gray_native
 

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Det-forward compute probe: times + FLOPs + MFU for det model variants.
+
+The r2 verdict's top item: det fwd at ~9 ms/img caps the whole design.
+This probe times, on the real chip (or CPU for shape checks):
+
+* the full fused det_fwd (resize + model + binarize + pack + pool)
+* the model forward alone
+* the device resize alone
+* model variants (old mobilenetv3 backbone vs the dense TpuBackbone,
+  stride-1 vs stride-2 head)
+
+and prints FLOPs (XLA cost analysis) + achieved MFU for each.
+
+Usage: python tools/det_probe.py [--batch 8] [--h 1024] [--w 768]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sync(x=None):
+    if x is None:
+        np.asarray(jnp.zeros(()) + 1)
+    else:
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(jax.numpy.ravel(leaf)[0])
+
+
+def timeit(label, fn, flops=0.0, iters=5):
+    from retto_tpu.utils.flops import mfu
+
+    out = fn()  # warm/compile
+    sync(out)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    msg = f"{label}: {best*1e3:.2f} ms"
+    if flops:
+        msg += f"  ({flops/1e9:.1f} GF, MFU {mfu(flops, best)*100:.1f}%)"
+    print(msg, flush=True)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--h", type=int, default=1024)
+    ap.add_argument("--w", type=int, default=768)
+    ap.add_argument("--variants", action="store_true",
+                    help="also time backbone variants")
+    args = ap.parse_args()
+    b, h, w = args.batch, args.h, args.w
+
+    from retto_tpu.models import build_det
+    from retto_tpu.models.dbnet import DetModel
+    from retto_tpu.utils.flops import cost_of
+    from retto_tpu.weights import init_random_params
+
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    print(f"probe shape: [{b}, 3, {h}, {w}]")
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (b, 3, h, w)).astype(np.float32)
+    )
+
+    def bench_model(label, model, raw=True):
+        params = init_random_params(model, jnp.zeros((1, 3, 64, 64)))
+        kw = {"raw": True} if raw and getattr(model, "out_stride", 1) > 1 else {}
+        fn = jax.jit(lambda p, x: model.apply(p, x, **kw))
+        c = cost_of(fn, params, x)
+        dt = timeit(label, lambda: fn(params, x), flops=c["flops"])
+        return dt
+
+    # flagship: mobile preset (TpuBackbone, stride-2 head)
+    det = build_det("mobile", compute_dtype="bfloat16")
+    bench_model(f"mobile tpu-bb s{det.out_stride} raw (batch {b})", det)
+    bench_model("mobile tpu-bb full-res contract", det, raw=False)
+
+    if args.variants:
+        old = DetModel(backbone="mobilenetv3", backbone_scale=0.5,
+                       inner_ch=96, head_ch=96, out_stride=2,
+                       dtype=jnp.bfloat16)
+        bench_model("mobilenetv3-bb x0.5 s2 raw", old)
+        s1 = DetModel(widths=(64, 128, 192, 256), depths=(1, 2, 2, 2),
+                      inner_ch=128, head_ch=64, out_stride=1,
+                      dtype=jnp.bfloat16)
+        bench_model("tpu-bb s1 (full-res head)", s1)
+
+    # the fused det_fwd as the pipeline runs it (resize included)
+    from retto_tpu.config import SessionConfig
+    from retto_tpu.ops.charset import CharacterDict, ascii_charset
+    from retto_tpu.pipeline.session import RettoSession
+
+    cfg = SessionConfig()
+    session = RettoSession(cfg, preset="mobile",
+                           charset=CharacterDict(ascii_charset()))
+    dp = session.device_pipeline()
+    ys = jnp.asarray(
+        np.random.default_rng(1).integers(0, 255, (b, 960, 704), np.uint8)
+    )
+    vs = jnp.asarray(np.tile(np.asarray([[960, 704]], np.int32), (b, 1)))
+    vd = jnp.asarray(np.tile(np.asarray([[992, 736]], np.int32), (b, 1)))
+
+    def det_fwd():
+        return dp._det_fwd(dp._params["det"], (ys,), vs, vd,
+                           dh=h, dw=w, fmt="gray")
+
+    dt = timeit(f"det_fwd gray fused (resize+fwd+pack+pool, batch {b})",
+                det_fwd)
+    print(f"  -> {dt/b*1e3:.2f} ms/img")
+
+
+if __name__ == "__main__":
+    main()

@@ -388,9 +388,11 @@ def train_det(steps=6000, batch=8, lr=8e-4, data_n=640, seed=2):
         model, tx, np.zeros((2, 3, 128, 128), np.float32)
     )
 
+    out_stride = int(getattr(model, "out_stride", 1) or 1)
+
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, data, idx):
-        x, gs, gm, gt, gtm = gather_det_batch(data, idx)
+        x, gs, gm, gt, gtm = gather_det_batch(data, idx, out_stride=out_stride)
 
         def compute(params):
             out, upd = model.apply(
