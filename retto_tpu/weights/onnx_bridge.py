@@ -175,6 +175,62 @@ def _equal(a, x, y):
     return x == y
 
 
+@op("Greater")
+def _greater(a, x, y):
+    return x > y
+
+
+@op("Less")
+def _less(a, x, y):
+    return x < y
+
+
+@op("Not")
+def _not(a, x):
+    return jnp.logical_not(x)
+
+
+@op("Abs")
+def _abs(a, x):
+    return jnp.abs(x)
+
+
+@op("Floor")
+def _floor(a, x):
+    return np.floor(x) if _static(x) else jnp.floor(x)
+
+
+@op("Ceil")
+def _ceil(a, x):
+    return np.ceil(x) if _static(x) else jnp.ceil(x)
+
+
+@op("Round")
+def _round(a, x):
+    return np.rint(x) if _static(x) else jnp.rint(x)
+
+
+@op("Min")
+def _min(a, *xs):
+    out = xs[0]
+    for x in xs[1:]:
+        out = np.minimum(out, x) if _static(out) and _static(x) else jnp.minimum(out, x)
+    return out
+
+
+@op("Max")
+def _max(a, *xs):
+    out = xs[0]
+    for x in xs[1:]:
+        out = np.maximum(out, x) if _static(out) and _static(x) else jnp.maximum(out, x)
+    return out
+
+
+@op("Tile")
+def _tile(a, x, reps):
+    return jnp.tile(x, _ints(reps))
+
+
 @op("Softmax")
 def _softmax(a, x):
     return jax.nn.softmax(x, axis=a.get("axis", -1))
@@ -358,6 +414,11 @@ def _reduce_max(a, x, axes=None):
     return _reduce(jnp.max, a, x, axes)
 
 
+@op("ReduceMin")
+def _reduce_min(a, x, axes=None):
+    return _reduce(jnp.min, a, x, axes)
+
+
 @op("ArgMax")
 def _argmax(a, x):
     axis = a.get("axis", 0)
@@ -525,6 +586,7 @@ _STATIC_ARGS: dict[str, set[int]] = {
     "Expand": {1}, "Unsqueeze": {1}, "Squeeze": {1},
     "ConstantOfShape": {0}, "Range": {0, 1, 2}, "Split": {1},
     "Pad": {1, 2}, "ReduceMean": {1}, "ReduceSum": {1}, "ReduceMax": {1},
+    "ReduceMin": {1}, "Tile": {1},
 }
 
 

@@ -190,6 +190,30 @@ class TestOps:
         ref = x * np.clip(x * 0.2 + 0.5, 0, 1)
         np.testing.assert_allclose(got, ref, atol=1e-6)
 
+    def test_defensive_elementwise_ops(self):
+        """The r3 audit extras (PARITY.md op-coverage table): Floor/Min/
+        Max/Tile/Greater through one small graph."""
+        x = np.linspace(-2, 2, 8, dtype=np.float32).reshape(1, 8)
+        cap = np.full((1, 8), 1.25, np.float32)
+        m = encode_model(
+            [
+                encode_node("Floor", ["x"], ["f"]),
+                encode_node("Min", ["f", "cap"], ["mn"]),
+                encode_node("Max", ["mn", "x"], ["mx"]),
+                encode_node("Greater", ["mx", "x"], ["g"]),
+                encode_node("Where", ["g", "mx", "x"], ["w"]),
+                encode_node("Tile", ["w", "reps"], ["y"]),
+            ],
+            {"cap": cap, "reps": np.asarray([2, 1], np.int64)},
+            {"x": [1, 8]}, {"y": [2, 8]},
+        )
+        got = run_model(m, x)
+        w = np.where(
+            np.maximum(np.minimum(np.floor(x), cap), x) > x,
+            np.maximum(np.minimum(np.floor(x), cap), x), x,
+        )
+        np.testing.assert_allclose(got, np.tile(w, (2, 1)), atol=1e-6)
+
     def test_conv_transpose_upsamples(self):
         x = RNG.normal(size=(1, 3, 4, 4)).astype(np.float32)
         w = RNG.normal(size=(3, 2, 2, 2)).astype(np.float32)  # [Cin, Cout, k, k]

@@ -73,6 +73,44 @@ class TestHarnessOffline:
         assert rep["text_match"] == 0.5
         assert rep["box_match_10px"] == 0.0
 
+    def test_reference_serde_adapter_result_object(self):
+        """The goldens adapter ingests the Rust reference's own serde JSON
+        (RettoWorkerResult shape, wire types fe/index.ts:5-42) — the
+        harness's canonical goldens producer (VERDICT r2 item 5)."""
+        ref_doc = {
+            "det": [
+                {"boxes": {"inner": [{"x": 1.0, "y": 2.0}, {"x": 11.0, "y": 2.0},
+                                      {"x": 11.0, "y": 8.0}, {"x": 1.0, "y": 8.0}]},
+                 "score": 0.88},
+            ],
+            "cls": [{"label": {"label": 180, "score": 0.97}}],
+            "rec": [{"text": "玩原神玩的", "score": 0.93}],
+        }
+        case = parity.reference_case_to_golden("cjk", ref_doc)
+        assert case["boxes"] == [[[1.0, 2.0], [11.0, 2.0], [11.0, 8.0], [1.0, 8.0]]]
+        assert case["cls_labels"] == [180]
+        assert case["texts"] == ["玩原神玩的"]
+        # round-trips through compare with an exact copy
+        rep = parity.compare([case], [json.loads(json.dumps(case))])
+        assert rep["text_match"] == 1.0
+
+    def test_reference_serde_adapter_stage_stream(self, tmp_path):
+        """Stage-event stream form (wasm/TS streaming wire, session.rs:50-56)
+        + the convert CLI over a directory of per-case files."""
+        events = [
+            {"stage": "det", "result": [
+                {"boxes": {"inner": [{"x": 0, "y": 0}, {"x": 5, "y": 0},
+                                      {"x": 5, "y": 3}, {"x": 0, "y": 3}]},
+                 "score": 0.7}]},
+            {"stage": "cls", "result": [{"label": {"label": 0, "score": 0.9}}]},
+            {"stage": "rec", "result": [{"text": "hi", "score": 0.8}]},
+        ]
+        (tmp_path / "case_a.json").write_text(json.dumps(events))
+        doc = parity.convert_reference_dir(tmp_path)
+        assert doc["producer"] == "retto (rust reference)"
+        assert doc["cases"][0]["name"] == "case_a"
+        assert doc["cases"][0]["texts"] == ["hi"]
+
     def test_missing_case_counts_as_miss(self):
         ref = {
             "name": "gone", "image": "gone.png", "boxes": [], "det_scores": [],

@@ -134,6 +134,65 @@ def run_corpus(session) -> list[dict]:
     return out
 
 
+def reference_case_to_golden(name: str, doc) -> dict:
+    """Convert ONE case of the Rust reference's own serde JSON into the
+    goldens schema — so ``check`` can regress directly against outputs
+    produced by the reference, not by this repo (de-self-referencing the
+    harness, VERDICT r2 item 5).
+
+    Accepted shapes (both produced by the reference's serde derives —
+    wire types documented at fe/index.ts:5-42):
+
+    * a ``RettoWorkerResult`` object: ``{"det": [...], "cls": [...],
+      "rec": [...]}`` (session.rs:42-48)
+    * a list of ``RettoWorkerStageResult`` stream events:
+      ``[{"stage": "det", "result": [...]}, ...]`` (session.rs:50-56,
+      the wasm/TS streaming wire format)
+
+    Det entries are ``{"boxes": {"inner": [{"x": ..., "y": ...} * 4]},
+    "score": f}``; cls entries ``{"label": {"label": int, "score": f}}``;
+    rec entries ``{"text": str, "score": f}``.
+    """
+    if isinstance(doc, list):  # stage-event stream -> result object
+        merged: dict = {}
+        for ev in doc:
+            merged[ev["stage"]] = ev["result"]
+        doc = merged
+    det = doc.get("det", [])
+    cls_ = doc.get("cls", [])
+    rec = doc.get("rec", [])
+    return {
+        "name": name,
+        "image": f"{name}.png",
+        "boxes": [
+            [[float(p["x"]), float(p["y"])] for p in d["boxes"]["inner"]]
+            for d in det
+        ],
+        "det_scores": [float(d["score"]) for d in det],
+        "cls_labels": [int(c["label"]["label"]) for c in cls_],
+        "cls_scores": [float(c["label"]["score"]) for c in cls_],
+        "texts": [r["text"] for r in rec],
+        "rec_scores": [float(r["score"]) for r in rec],
+    }
+
+
+def convert_reference_dir(src: Path) -> dict:
+    """Build a goldens document from reference outputs: ``src`` is either a
+    directory of ``<case>.json`` files (one per corpus image) or a single
+    JSON file mapping case name -> reference output."""
+    cases = []
+    if src.is_dir():
+        for f in sorted(src.glob("*.json")):
+            cases.append(
+                reference_case_to_golden(f.stem, json.loads(f.read_text()))
+            )
+    else:
+        doc = json.loads(src.read_text())
+        for name, case in doc.items():
+            cases.append(reference_case_to_golden(name, case))
+    return {"version": 1, "producer": "retto (rust reference)", "cases": cases}
+
+
 def compare(goldens: list[dict], got: list[dict]) -> dict:
     """Match rates vs recorded reference outputs.  Boxes are compared in
     reading order with the reference's own tolerance style (corner distance
@@ -187,7 +246,20 @@ def main() -> int:
     p = sub.add_parser("check", help="compare a run against goldens")
     p.add_argument("--models", required=True)
     p.add_argument("--goldens", default="parity_goldens.json")
+    p = sub.add_parser(
+        "convert",
+        help="convert the Rust reference's serde JSON outputs to goldens",
+    )
+    p.add_argument("--reference-out", required=True,
+                   help="dir of <case>.json files or one {name: result} JSON")
+    p.add_argument("--out", default="parity_goldens.json")
     args = ap.parse_args()
+
+    if args.cmd == "convert":
+        doc = convert_reference_dir(Path(args.reference_out))
+        Path(args.out).write_text(json.dumps(doc, indent=1, ensure_ascii=False))
+        print(f"converted {len(doc['cases'])} reference cases -> {args.out}")
+        return 0
 
     if args.cmd == "corpus":
         from PIL import Image
