@@ -78,6 +78,7 @@ from ..results import (
     OcrResult,
     RecResult,
     RecText,
+    StageResult,
 )
 from .stages import _bucket_up, _next_bucket, det_input_dims
 
@@ -587,12 +588,27 @@ class DevicePipeline:
 
     # ------------------------------------------------------------------ #
     def run_many(
-        self, inputs: Sequence[bytes | np.ndarray]
+        self,
+        inputs: Sequence[bytes | np.ndarray],
+        stage_callback=None,
     ) -> list[OcrResult | RettoError]:
         """Fused batch run.  Per-image decode failures fill their result
         slot with the error object (failure isolation, SURVEY.md §5) —
-        the rest of the batch proceeds normally."""
-        return self._finish(self._prepare(inputs))
+        the rest of the batch proceeds normally.
+
+        ``stage_callback(i, StageResult)`` streams per-image stage events
+        as they materialize (det as soon as its chunk's postprocess lands,
+        cls+rec at assembly) — the fused-path analog of
+        session.run_stream's mpsc contract (session.rs:133-143); events
+        for one image arrive in det -> cls -> rec order."""
+        return self._finish(self._prepare(inputs), stage_callback)
+
+    def run_stream(self, data: bytes | np.ndarray, callback) -> OcrResult:
+        """Single-image stage streaming over the fused path."""
+        res = self.run_many([data], lambda _i, ev: callback(ev))[0]
+        if isinstance(res, RettoError):
+            raise res
+        return res
 
     def stream(self, batches):
         """Sustained-streaming mode (BASELINE config 5): a generator over
@@ -684,7 +700,7 @@ class DevicePipeline:
         return {"imgs": imgs, "chunks": chunks, "stats": stats, "t0": t0,
                 "errors": errors}
 
-    def _finish(self, state: dict) -> list[OcrResult]:
+    def _finish(self, state: dict, stage_callback=None) -> list[OcrResult]:
         cfg = self.cfg
         imgs: list[_Img] = state["imgs"]
         chunks: list[_Chunk] = state["chunks"]
@@ -776,6 +792,19 @@ class DevicePipeline:
                     im.crops.append(_CropTask(i, j, quad, h_crop, w_crop))
                 stats["crops"] += len(im.boxes)
             stats["t_score"] += time.perf_counter() - t
+            if stage_callback is not None:
+                for i in ch.idxs:
+                    im = imgs[i]
+                    b_ori = scale_and_clip(
+                        im.boxes, im.aw, im.ah, im.ori_w, im.ori_h
+                    )
+                    stage_callback(i, StageResult(
+                        stage="det",
+                        result=DetResult([
+                            DetBox(PointBox(b), float(sc))
+                            for b, sc in zip(b_ori, im.scores)
+                        ]),
+                    ))
             chunk_crops = [c for i in ch.idxs for c in imgs[i].crops]
             if chunk_crops:
                 clsrec_handles.extend(
@@ -868,6 +897,9 @@ class DevicePipeline:
             rec_res = RecResult(
                 [rec_texts.get((i, c.box_i), RecText()) for c in im.crops]
             )
+            if stage_callback is not None:
+                stage_callback(i, StageResult(stage="cls", result=cls_res))
+                stage_callback(i, StageResult(stage="rec", result=rec_res))
             out.append(OcrResult(det_res, cls_res, rec_res))
         stats["t_total"] = time.perf_counter() - t0
         self.last_stats = stats
