@@ -20,7 +20,7 @@ __all__ = ["PEAKS", "cost_of", "mfu", "device_peak_flops"]
 # (peak dense FLOP/s at bf16, HBM bytes/s)
 PEAKS: dict[str, tuple[float, float]] = {
     "v5e": (197e12, 819e9),
-    "v5litepod": (197e12, 819e9),  # jax device_kind spelling
+    "v5lite": (197e12, 819e9),  # device_kind "TPU v5 lite0"
     "v4": (275e12, 1228e9),
     "cpu": (1e11, 5e10),  # order-of-magnitude only (host fallback)
 }

@@ -168,3 +168,48 @@ class TestTrainStep:
         assert head_spec == jax.sharding.PartitionSpec(None, "model")
         bb_spec = sh["backbone"]["kernel"].spec
         assert bb_spec == jax.sharding.PartitionSpec()
+
+
+class TestBigVocab:
+    """Synthetic large-vocabulary charset (train/bigvocab.py): the
+    reference-scale 6,623-key dict (rec_processor.rs:29-46) exercised with
+    procedural pseudo-glyphs."""
+
+    def test_charset_matches_reference_scale(self):
+        from retto_tpu.ops.charset import CharacterDict
+        from retto_tpu.train.bigvocab import BIG_NUM_KEYS, big_charset
+
+        cs = big_charset()
+        assert len(cs) == BIG_NUM_KEYS == 6623
+        cd = CharacterDict(cs)
+        assert cd.num_classes == 6625  # blank + keys + " "
+
+    def test_glyphs_deterministic_and_distinct(self):
+        import numpy as np
+
+        from retto_tpu.train.bigvocab import glyph_bitmap
+
+        assert glyph_bitmap(7) is glyph_bitmap(7)  # cached
+        a = np.stack([glyph_bitmap(i) for i in range(64)])
+        # pairwise-distinct over a sample window
+        flat = a.reshape(64, -1)
+        assert len({bytes(r) for r in flat}) == 64
+
+    def test_render_encode_round_trip(self):
+        import numpy as np
+
+        from retto_tpu.ops.charset import CharacterDict
+        from retto_tpu.train.bigvocab import (
+            BIG_NUM_KEYS,
+            big_charset,
+            random_big_text,
+            render_big_line,
+        )
+
+        rng = np.random.default_rng(3)
+        cd = CharacterDict(big_charset())
+        ids, text = random_big_text(rng, BIG_NUM_KEYS)
+        assert cd.encode(text) == ids
+        img = render_big_line(ids, 48, rng)
+        assert img.shape[0] == 48 and img.shape[2] == 3
+        assert img.shape[1] >= 32 * len(ids) // 2
