@@ -107,6 +107,16 @@ def _load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_float),  # out_scores
         ctypes.c_int,  # max_boxes
     ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rt_pack_yuv420.restype = ctypes.c_int
+    lib.rt_pack_yuv420.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p, u8p,
+    ]
+    lib.rt_pack_gray.restype = ctypes.c_int
+    lib.rt_pack_gray.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+    ]
     _LIB = lib
     return lib
 
@@ -282,6 +292,48 @@ def det_chunk_native(
         (boxes[k, : counts[k]].copy(), scores[k, : counts[k]].copy())
         for k in range(b)
     ]
+
+
+def pack_yuv420_native(
+    img: np.ndarray, hp: int, wp: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Edge-replicate pad to (hp, wp) + planar YUV 4:2:0 pack in ONE pass
+    (Y bit-exact with PIL convert('L'); chroma within +-1 of the PIL
+    BOX+YCbCr chain).  None without a compiler."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rt_pack_yuv420"):
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    if c != 3 or hp % 2 or wp % 2:
+        return None
+    y = np.empty((hp, wp), np.uint8)
+    uv = np.empty((hp // 2, wp // 2, 2), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.rt_pack_yuv420(
+        img.ctypes.data_as(u8p), h, w, hp, wp,
+        y.ctypes.data_as(u8p), uv.ctypes.data_as(u8p),
+    )
+    if rc != 0:
+        return None
+    return y, uv
+
+
+def pack_gray_native(img: np.ndarray, hp: int, wp: int) -> np.ndarray | None:
+    """Edge-replicate pad + channel-0 extract in one pass (the lossless
+    1 B/px transfer for truly-grayscale inputs).  None without a compiler."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rt_pack_gray"):
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        return None
+    out = np.empty((hp, wp), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rt_pack_gray(img.ctypes.data_as(u8p), h, w, hp, wp,
+                     out.ctypes.data_as(u8p))
+    return out
 
 
 def is_gray_native(img: np.ndarray) -> bool | None:

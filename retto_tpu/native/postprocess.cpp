@@ -749,4 +749,67 @@ int rt_is_gray(const uint8_t* rgb, int64_t n_px) {
   return 1;
 }
 
+// Fused edge-replicate pad + planar YUV 4:2:0 pack, one pass over the
+// interleaved RGB image (the host->device transfer codec,
+// image/yuv.py).  Replaces PIL convert("L") + BOX resize + YCbCr convert
+// + np.pad (four passes + copies) in DevicePipeline._decode_one on the
+// single-core host.  Y matches PIL convert("L") bit-exactly
+// ((19595 R + 38470 G + 7471 B + 0x8000) >> 16); chroma is the JFIF
+// box-downsample + BT.601 full-range matrix, within +-1 of the PIL chain
+// (parity-tested, tests/test_native.py).
+// rgb: [h, w, 3]; y_out: [hp, wp]; uv_out: [hp/2, wp/2, 2]; hp/wp even,
+// >= h/w; rows/cols beyond the valid extent replicate the edge pixel.
+int rt_pack_yuv420(const uint8_t* rgb, int h, int w, int hp, int wp,
+                   uint8_t* y_out, uint8_t* uv_out) {
+  if (hp % 2 || wp % 2) return -1;
+  int wp2 = wp / 2;
+  std::vector<int32_t> rsum(wp2), gsum(wp2), bsum(wp2);
+  for (int yy = 0; yy < hp; yy += 2) {
+    for (int dy = 0; dy < 2; dy++) {
+      int sy = std::min(yy + dy, h - 1);
+      const uint8_t* row = rgb + (size_t)sy * w * 3;
+      uint8_t* yrow = y_out + (size_t)(yy + dy) * wp;
+      if (dy == 0) {
+        std::fill(rsum.begin(), rsum.end(), 0);
+        std::fill(gsum.begin(), gsum.end(), 0);
+        std::fill(bsum.begin(), bsum.end(), 0);
+      }
+      for (int x = 0; x < wp; x++) {
+        int sx = std::min(x, w - 1);
+        const uint8_t* p = row + (size_t)sx * 3;
+        int r = p[0], g = p[1], b = p[2];
+        yrow[x] = (uint8_t)((19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16);
+        rsum[x >> 1] += r;
+        gsum[x >> 1] += g;
+        bsum[x >> 1] += b;
+      }
+    }
+    uint8_t* uvrow = uv_out + (size_t)(yy / 2) * wp2 * 2;
+    for (int cx = 0; cx < wp2; cx++) {
+      // BOX mean with round-half-up, then JFIF chroma
+      double r = (rsum[cx] + 2) >> 2, g = (gsum[cx] + 2) >> 2,
+             b = (bsum[cx] + 2) >> 2;
+      double cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0;
+      double cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0;
+      uvrow[cx * 2] = (uint8_t)std::clamp((int)std::lround(cb), 0, 255);
+      uvrow[cx * 2 + 1] = (uint8_t)std::clamp((int)std::lround(cr), 0, 255);
+    }
+  }
+  return 0;
+}
+
+
+// Fused edge-replicate pad + channel-0 extract for truly-grayscale inputs
+// (1 B/px lossless transfer).  rgb: [h, w, 3]; out: [hp, wp].
+int rt_pack_gray(const uint8_t* rgb, int h, int w, int hp, int wp,
+                 uint8_t* out) {
+  for (int yy = 0; yy < hp; yy++) {
+    int sy = std::min(yy, h - 1);
+    const uint8_t* row = rgb + (size_t)sy * w * 3;
+    uint8_t* orow = out + (size_t)yy * wp;
+    for (int x = 0; x < wp; x++) orow[x] = row[(size_t)std::min(x, w - 1) * 3];
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -522,7 +522,11 @@ class DevicePipeline:
             # truly grayscale input -> a single luma plane (1 B/px) is a
             # LOSSLESS transfer (Y of R=G=B=v is v; chroma is constant
             # 128); checked pre-pad so gray images pad one plane, not 3
-            from ..native import is_gray_native
+            from ..native import (
+                is_gray_native,
+                pack_gray_native,
+                pack_yuv420_native,
+            )
 
             gray = is_gray_native(px)
             if gray is None:  # no compiler: numpy fallback
@@ -532,10 +536,18 @@ class DevicePipeline:
                 )
             if gray:
                 im.fmt = "gray"
-                planes = (pad(np.ascontiguousarray(px[:, :, 0])),)
+                # fused pad+extract in one C pass (host-floor work; the
+                # numpy path costs a strided copy + a pad copy)
+                plane = pack_gray_native(px, hp, wp)
+                if plane is None:
+                    plane = pad(np.ascontiguousarray(px[:, :, 0]))
+                planes = (plane,)
             else:
                 im.fmt = "yuv420"
-                planes = rgb_to_yuv420(pad(px))
+                packed = pack_yuv420_native(px, hp, wp)
+                if packed is None:
+                    packed = rgb_to_yuv420(pad(px))
+                planes = packed
         else:
             im.fmt = "rgb"
             planes = (pad(px),)

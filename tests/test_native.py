@@ -194,3 +194,34 @@ def test_is_gray_native():
         pytest.skip("no native backend")
     assert got_g is True
     assert got_c is False
+
+
+def test_pack_yuv420_parity():
+    """rt_pack_yuv420 (fused pad+pack) vs the PIL chain (pad -> convert L
+    -> BOX half -> YCbCr): Y bit-exact, chroma within +-1."""
+    from retto_tpu.image.yuv import rgb_to_yuv420
+    from retto_tpu.native import pack_yuv420_native
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (94, 121, 3), np.uint8)
+    hp, wp = 128, 128
+    got = pack_yuv420_native(img, hp, wp)
+    if got is None:
+        pytest.skip("no native backend")
+    y_n, uv_n = got
+    padded = np.pad(img, ((0, hp - 94), (0, wp - 121), (0, 0)), mode="edge")
+    y_p, uv_p = rgb_to_yuv420(padded)
+    np.testing.assert_array_equal(y_n, y_p)  # PIL L is bit-exact
+    assert int(np.abs(uv_n.astype(int) - uv_p.astype(int)).max()) <= 1
+
+
+def test_pack_gray_parity():
+    from retto_tpu.native import pack_gray_native
+
+    rng = np.random.default_rng(32)
+    g = np.repeat(rng.integers(0, 256, (50, 61, 1), np.uint8), 3, axis=2)
+    got = pack_gray_native(g, 64, 64)
+    if got is None:
+        pytest.skip("no native backend")
+    ref = np.pad(g[:, :, 0], ((0, 14), (0, 3)), mode="edge")
+    np.testing.assert_array_equal(got, ref)
