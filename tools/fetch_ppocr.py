@@ -34,6 +34,23 @@ def main() -> int:
     from retto_tpu.ops.charset import CharacterDict
     from retto_tpu.pipeline.onnx_engine import OnnxEngine
 
+    # op histogram per graph: the PARITY.md op-coverage audit's checklist —
+    # confirms the bridge registry covers every op the real exports use
+    from collections import Counter
+
+    from retto_tpu.weights.onnx_bridge import _Ops
+    from retto_tpu.weights.onnx_proto import parse_model
+
+    for fam in ("det", "cls", "rec"):
+        model = parse_model(Path(paths[fam]).read_bytes())
+        hist = Counter(n.op_type for n in model.graph.nodes)
+        missing = sorted(set(hist) - set(_Ops.registry))
+        print(f"{fam} ops: {dict(sorted(hist.items()))}")
+        if missing:
+            print(f"  !! NOT IN BRIDGE REGISTRY: {missing}")
+        else:
+            print("  all ops covered by the bridge registry")
+
     engine = OnnxEngine(det=paths["det"], cls=paths["cls"], rec=paths["rec"])
     chars = CharacterDict.from_file(paths["keys"])
     print(f"charset: {chars.num_classes} classes")
