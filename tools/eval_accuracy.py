@@ -59,7 +59,9 @@ def main() -> None:
     rng = np.random.default_rng(123)
 
     n_exact = n_close = n_box = n_cls_up = n_cls_rot = n_det1 = 0
+    n_up_norot = n_rot_text = 0
     fails = []
+    cls_fails = []
     for i in range(n):
         text = natural_text(rng, max_words=3)
         img, bbox = render(text)
@@ -78,23 +80,41 @@ def main() -> None:
 
         if difflib.SequenceMatcher(None, got, text).ratio() >= 0.9:
             n_close += 1
-        if res.cls_result.labels and res.cls_result[0].label == 0:
+        cu = res.cls_result
+        if cu.labels and cu[0].label == 0:
             n_cls_up += 1
+        # functional criterion: the pipeline only rotates when label==180
+        # AND score>=thresh (cls_processor.rs:81-90); an upright crop is
+        # handled correctly iff no rotation fires
+        if cu.labels and not (cu[0].label == 180 and cu[0].score >= 0.9):
+            n_up_norot += 1
+        elif cu.labels:
+            cls_fails.append(("UP", text, cu[0].label, cu[0].score))
         # rotated case
         res_r = session.run(img[::-1, ::-1].copy())
-        if (
-            res_r.cls_result.labels
-            and res_r.cls_result[0].label == 180
-            and res_r.cls_result[0].score >= 0.9
-        ):
+        cr = res_r.cls_result
+        if cr.labels and cr[0].label == 180 and cr[0].score >= 0.9:
             n_cls_rot += 1
+        else:
+            cls_fails.append(
+                ("ROT", text, cr[0].label if cr.labels else None,
+                 cr[0].score if cr.labels else None)
+            )
+        # end-to-end rotated text: the metric the cls stage exists to serve
+        got_r = res_r.rec_result[0].text if res_r.rec_result.texts else ""
+        if got_r == text:
+            n_rot_text += 1
     print(f"n={n}")
     print(f"det exactly-1-box: {n_det1}/{n}")
     print(f"box BR within 10px: {n_box}/{n}")
     print(f"rec exact: {n_exact}/{n}  (>=0.9 sim: {n_close}/{n})")
-    print(f"cls upright@0.9: {n_cls_up}/{n}  rot180@0.9: {n_cls_rot}/{n}")
+    print(f"rec exact on 180-rotated input: {n_rot_text}/{n}")
+    print(f"cls strict-label upright: {n_cls_up}/{n}  rot180@0.9: {n_cls_rot}/{n}")
+    print(f"cls functional (upright not rotated): {n_up_norot}/{n}")
     for t, g in fails[:10]:
         print(f"  MISS {t!r} -> {g!r}")
+    for kind, t, lb, sc in cls_fails[:10]:
+        print(f"  CLS-{kind} {t!r} -> label={lb} score={sc}")
 
 
 if __name__ == "__main__":
