@@ -205,6 +205,75 @@ def bench_streaming(weights_dir: Path) -> dict:
     }
 
 
+def bench_device_ceiling(weights_dir: Path) -> dict:
+    """Config 6 (north-star tracker): fused det_fwd + fused cls/rec driven
+    on device-resident tensors in async chains — zero host or link
+    involvement.  This is the images/sec the kernels would sustain on a
+    directly-attached chip at CROPS_PER_DOC crops per page, i.e. the
+    number the 1000 img/s north star is honestly gated on once the
+    tunnel/host floor is out of the way (PERF.md round-3 section)."""
+    import jax.numpy as jnp
+
+    session = _build_session(weights_dir)
+    dp = session.device_pipeline()
+    b, n, iters = 8, 32, 30
+    ys = jnp.asarray(
+        np.random.default_rng(1).integers(0, 255, (b, 960, 704), np.uint8)
+    )
+    vs = jnp.asarray(np.tile(np.asarray([[960, 704]], np.int32), (b, 1)))
+    vd = jnp.asarray(np.tile(np.asarray([[992, 736]], np.int32), (b, 1)))
+
+    def det_step():
+        return dp._det_fwd(dp._params["det"], (ys,), vs, vd,
+                           dh=1024, dw=768, fmt="gray")
+
+    _, _, rgb_u8 = det_step()  # compile; keep the u8 pages device-resident
+    out = det_step()
+    np.asarray(jnp.ravel(out[0])[0])  # sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = det_step()
+    np.asarray(jnp.ravel(out[0])[0])
+    det_per_img = (time.perf_counter() - t0) / iters / b
+
+    # fused cls+rec over 32 axis-aligned crops of the resident pages
+    # (separable MXU warp path; geometry mirrors a 600x32 px line)
+    rows = jnp.asarray(np.arange(n, dtype=np.int32) % b)
+    rec_scal = jnp.asarray(np.tile(
+        [[8.0, 600.0 / 320.0, 100.0, 32.0 / 48.0]], (n, 1)
+    ).astype(np.float32))
+    flip_scal = jnp.asarray(np.tile(
+        [[608.0, -600.0 / 320.0, 132.0, -32.0 / 48.0]], (n, 1)
+    ).astype(np.float32))
+    cls_scal = jnp.asarray(np.tile(
+        [[8.0, 600.0 / 192.0, 100.0, 32.0 / 48.0]], (n, 1)
+    ).astype(np.float32))
+    w_rec = jnp.full((n,), 320, jnp.int32)
+    w_cls = jnp.full((n,), 192, jnp.int32)
+
+    def clsrec_step():
+        return dp._clsrec_fwd(
+            dp._params["cls"], dp._params["rec"], rgb_u8, rows,
+            cls_scal, w_cls, rec_scal, flip_scal, w_rec, vs,
+            out_w=320, use_cls=True,
+        )
+
+    out = clsrec_step()
+    np.asarray(jnp.ravel(out[2])[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = clsrec_step()
+    np.asarray(jnp.ravel(out[2])[0])
+    clsrec_per_crop = (time.perf_counter() - t0) / iters / n
+
+    ceiling = 1.0 / (det_per_img + CROPS_PER_DOC * clsrec_per_crop)
+    return {
+        "config6_device_ceiling_imgs_per_sec": round(ceiling, 1),
+        "config6_det_ms_per_img": round(det_per_img * 1e3, 3),
+        "config6_clsrec_ms_per_crop": round(clsrec_per_crop * 1e3, 4),
+    }
+
+
 def bench_server_smoke() -> dict:
     """BASELINE config 4 smoke: server-preset det+rec compile + forward."""
     import jax
@@ -247,6 +316,10 @@ def main() -> None:
             result.update(bench_server_smoke())
         except Exception as e:  # noqa: BLE001
             result["config4_error"] = str(e)
+        try:
+            result.update(bench_device_ceiling(weights_dir))
+        except Exception as e:  # noqa: BLE001
+            result["config6_error"] = str(e)
     else:
         result = bench_rec_only()
     print(json.dumps(result))
