@@ -20,6 +20,7 @@ from ..ops.charset import CharacterDict
 
 __all__ = [
     "default_font",
+    "confusion_text",
     "natural_text",
     "render_line",
     "render_page",
@@ -107,6 +108,51 @@ _NATURAL_WORDS = (
     "tell turn used ways week went word world print quick brown jumps lazy "
     "dog happy hello total thank order page text line item price"
 ).split()
+
+
+_CONFUSABLE_SETS = (
+    "Il|1!i",  # vertical strokes: the dominant eval-miss mode
+    "vyw",     # v/y tails
+    "uvn",
+    "oO0Q",
+    "ce",
+    "8698",
+    "S5s",
+    "Z2z",
+    "gq9",
+)
+_CONFUSABLE_WORDS = [
+    w for w in _NATURAL_WORDS if any(c in w for c in "lIiyvuw")
+]
+
+
+def confusion_text(rng: np.random.Generator, max_words: int = 3) -> str:
+    """Text biased toward glyph-confusable content: vertical strokes
+    (l/I/|/1/i), v/y tails, 6/8/9 loops, doubled letters, digit runs —
+    the residual rec eval-miss modes at n=512 ('hello'->'hel|o',
+    'only'->'onIv', 'world'->'worId', '9631'->'96310')."""
+    words = []
+    for _ in range(int(rng.integers(1, max_words + 1))):
+        r = rng.random()
+        if r < 0.45:
+            s = _CONFUSABLE_SETS[int(rng.integers(0, len(_CONFUSABLE_SETS)))]
+            k = int(rng.integers(2, 7))
+            w = "".join(rng.choice(list(s), size=k))
+        elif r < 0.80:
+            w = _CONFUSABLE_WORDS[int(rng.integers(0, len(_CONFUSABLE_WORDS)))]
+            rr = rng.random()
+            if rr < 0.15:
+                w = w.capitalize()
+            elif rr < 0.22:
+                w = w.upper()
+            if rng.random() < 0.15:
+                # double a letter ('hello'-style tight pairs)
+                j = int(rng.integers(0, len(w)))
+                w = w[:j] + w[j] + w[j:]
+        else:
+            w = str(rng.integers(0, 10 ** int(rng.integers(2, 7))))
+        words.append(w)
+    return " ".join(words)
 
 
 def natural_text(

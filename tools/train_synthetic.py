@@ -40,7 +40,14 @@ from retto_tpu.train.data import (
 )
 from retto_tpu.train.losses import ctc_loss, db_loss
 from retto_tpu.image.io import _pil_resize
-from retto_tpu.train.synth import default_font, natural_text, render_line, render_page, random_text
+from retto_tpu.train.synth import (
+    confusion_text,
+    default_font,
+    natural_text,
+    random_text,
+    render_line,
+    render_page,
+)
 from retto_tpu.train.trainer import TrainState, init_train_state
 from retto_tpu.weights import save_params
 
@@ -60,9 +67,17 @@ def render_rec_dataset(rng, n):
     max_len = 16
     usable = CHARS.chars[1:-1]
     for i in range(n):
-        # 40% natural-language-like text (the deployment distribution),
-        # 60% uniform random (full charset coverage)
-        text = natural_text(rng) if rng.random() < 0.4 else random_text(rng, usable, max_len)
+        # 35% natural-language-like text (the deployment distribution),
+        # 25% confusable-glyph-targeted (the n=512 eval residual-miss
+        # modes: l/I/|/1 strokes, v/y tails, doubled letters, digit runs),
+        # 40% uniform random (full charset coverage)
+        r = rng.random()
+        if r < 0.35:
+            text = natural_text(rng)
+        elif r < 0.60:
+            text = confusion_text(rng)
+        else:
+            text = random_text(rng, usable, max_len)
         text = text[:max_len]
         fg, bg = ((255, 255, 255), (0, 0, 0)) if rng.random() < 0.3 else ((0, 0, 0), (255, 255, 255))
         img = render_line(
@@ -329,10 +344,12 @@ def render_rec_pipeline_dataset(rng, n_pages=2400, max_len=16):
     for i in range(n_pages):
         size_h, size_w = _sizes[int(rng.integers(0, len(_sizes)))]
         lh_lo = int(rng.integers(18, 40))
+        r = rng.random()
         img, gt_boxes, gt_texts = render_page(
             rng, CHARS, size_h, size_w, max_lines=5,
             lh_range=(lh_lo, min(lh_lo + 60, 110)),
-            text_fn=(natural_text if rng.random() < 0.5 else None),
+            text_fn=(natural_text if r < 0.4 else
+                     confusion_text if r < 0.7 else None),
         )
         if not len(gt_boxes):
             continue
