@@ -67,6 +67,28 @@ class ClsConfig:
     batch_num: int = 6
     thresh: float = 0.9
     label: tuple[int, ...] = (0, 180)
+    # Orientation-symmetrized inference: score both the crop and its 180°
+    # rotation and average the complementary probabilities,
+    # p_180(x) <- (p_180(x) + p_0(rot180(x))) / 2.  For content whose 180°
+    # rotation is itself plausible text (digit runs like '1061'/'6899',
+    # 'open good'), a single forward can be confidently wrong and the
+    # pipeline then rotates an upright crop into garbage; the symmetrized
+    # score converges to 0.5 on truly ambiguous content so the `thresh`
+    # rotation gate (cls_processor.rs:163-166) never fires falsely.  This
+    # is a property of OUR trained classifier head, not a pipeline-semantics
+    # deviation: the chunking, thresholds, and rotation rule are unchanged.
+    symmetrize: bool = True
+
+
+def rot180_label_perm(labels: "tuple[int, ...]") -> "tuple[int, ...] | None":
+    """Index permutation of the cls label set under a 180° input rotation:
+    perm[i] = index of label (labels[i]+180) % 360.  Returns None when the
+    label set is not closed under rotation (symmetrized inference then
+    degrades to the plain single-forward path)."""
+    try:
+        return tuple(labels.index((l + 180) % 360) for l in labels)
+    except ValueError:
+        return None
 
 
 @dataclass

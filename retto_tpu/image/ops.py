@@ -71,9 +71,14 @@ def resize_norm_pad(
     return x
 
 
-def pad_to(x: jax.Array, h: int, w: int, value: float = 0.0) -> jax.Array:
-    """Zero-pad the trailing two spatial dims of an NCHW tensor up to (h, w).
-    Used to snap det inputs onto the static bucket grid (BucketConfig)."""
+def pad_to(
+    x: jax.Array, h: int, w: int, value: float = 0.0, mode: str = "constant"
+) -> jax.Array:
+    """Pad the trailing two spatial dims of an NCHW tensor up to (h, w).
+    Used to snap det inputs onto the static bucket grid (BucketConfig).
+    ``mode="edge"`` replicates the border pixel instead of filling with
+    ``value`` — a constant fill paints a synthetic image→pad transition
+    that a det model can fire on (corner false positives)."""
     ph = h - x.shape[-2]
     pw = w - x.shape[-1]
     if ph < 0 or pw < 0:
@@ -81,4 +86,6 @@ def pad_to(x: jax.Array, h: int, w: int, value: float = 0.0) -> jax.Array:
     if ph == 0 and pw == 0:
         return x
     cfg = [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)]
+    if mode == "edge":
+        return jnp.pad(x, cfg, mode="edge")
     return jnp.pad(x, cfg, constant_values=value)

@@ -87,13 +87,19 @@ __all__ = ["DevicePipeline"]
 logger = logging.getLogger("retto_tpu.device_pipeline")
 
 
-def _bilinear_matrix(src_valid, dst_valid, src_size: int, dst_size: int):
+def _bilinear_matrix(
+    src_valid, dst_valid, src_size: int, dst_size: int,
+    replicate_out: bool = False,
+):
     """Per-image bilinear resample matrix [B, dst_size, src_size] mapping a
     [0, src_valid) source extent onto [0, dst_valid) of the dst canvas with
     PIL-style pixel-center alignment.  On downscales the triangle filter
     widens by the scale factor (PIL's anti-aliased BILINEAR); on upscales
     it is the plain 2-tap bilinear.  Rows/cols beyond the valid extents
-    are zero.  Dense on purpose: the resample becomes two einsum matmuls on
+    are zero — or, with ``replicate_out``, replicate the source edge pixel
+    (``sy`` is already clamped to the edge there), so det bucket padding
+    carries no synthetic image→pad transition for the model to fire on.
+    Dense on purpose: the resample becomes two einsum matmuls on
     the MXU instead of a gather chain (TPU-first; see module docstring)."""
     i = jax.lax.broadcasted_iota(jnp.float32, (1, dst_size, 1), 1)
     j = jax.lax.broadcasted_iota(jnp.float32, (1, 1, src_size), 2)
@@ -103,7 +109,7 @@ def _bilinear_matrix(src_valid, dst_valid, src_size: int, dst_size: int):
     support = jnp.maximum(scale, 1.0)  # filter half-width in source px
     sy = jnp.clip((i + 0.5) * scale - 0.5, 0.0, sv - 1.0)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(sy - j) / support)
-    w = w * (i < dv) * (j < sv)
+    w = w * (j < sv) if replicate_out else w * (i < dv) * (j < sv)
     # normalize rows (the widened filter's taps no longer sum to 1)
     return w / jnp.maximum(w.sum(axis=2, keepdims=True), 1e-6)
 
@@ -330,12 +336,16 @@ class DevicePipeline:
             if fmt == "yuv420":
                 y, uv = planes
                 b, hp, wp = y.shape
-                wh = _bilinear_matrix(vs[:, 0], vd[:, 0], hp, dh)
-                ww = _bilinear_matrix(vs[:, 1], vd[:, 1], wp, dw)
+                wh = _bilinear_matrix(vs[:, 0], vd[:, 0], hp, dh,
+                                      replicate_out=True)
+                ww = _bilinear_matrix(vs[:, 1], vd[:, 1], wp, dw,
+                                      replicate_out=True)
                 # chroma is resampled straight from the half-res plane
                 # (YUV->RGB is linear, so it commutes with the resize)
-                wh2 = _bilinear_matrix(vs[:, 0] / 2, vd[:, 0], hp // 2, dh)
-                ww2 = _bilinear_matrix(vs[:, 1] / 2, vd[:, 1], wp // 2, dw)
+                wh2 = _bilinear_matrix(vs[:, 0] / 2, vd[:, 0], hp // 2, dh,
+                                       replicate_out=True)
+                ww2 = _bilinear_matrix(vs[:, 1] / 2, vd[:, 1], wp // 2, dw,
+                                       replicate_out=True)
                 ydet = _resize2(wh, ww, y.astype(jnp.float32)[..., None])[..., 0]
                 uvdet = _resize2(wh2, ww2, uv.astype(jnp.float32))
                 rgb_det = yuv_planes_to_rgb(ydet, uvdet[..., 0], uvdet[..., 1])
@@ -344,28 +354,32 @@ class DevicePipeline:
             elif fmt == "gray":
                 (y,) = planes
                 b, hp, wp = y.shape
-                wh = _bilinear_matrix(vs[:, 0], vd[:, 0], hp, dh)
-                ww = _bilinear_matrix(vs[:, 1], vd[:, 1], wp, dw)
+                wh = _bilinear_matrix(vs[:, 0], vd[:, 0], hp, dh,
+                                      replicate_out=True)
+                ww = _bilinear_matrix(vs[:, 1], vd[:, 1], wp, dw,
+                                      replicate_out=True)
                 ydet = _resize2(wh, ww, y.astype(jnp.float32)[..., None])
                 rgb_det = jnp.broadcast_to(ydet, (*ydet.shape[:-1], 3))
                 rgb_u8 = y[..., None]  # crops stay single-channel
             else:
                 (rgb,) = planes
                 b, hp, wp, _ = rgb.shape
-                wh = _bilinear_matrix(vs[:, 0], vd[:, 0], hp, dh)
-                ww = _bilinear_matrix(vs[:, 1], vd[:, 1], wp, dw)
+                wh = _bilinear_matrix(vs[:, 0], vd[:, 0], hp, dh,
+                                      replicate_out=True)
+                ww = _bilinear_matrix(vs[:, 1], vd[:, 1], wp, dw,
+                                      replicate_out=True)
                 rgb_det = _resize2(wh, ww, rgb.astype(jnp.float32))
                 rgb_u8 = rgb
             x = rgb_det[..., ::-1]  # BGR (det_processor.rs:268)
             mean = jnp.asarray(det_cfg.mean, jnp.float32)
             std = jnp.asarray(det_cfg.std, jnp.float32)
             x = (x * det_cfg.scale - mean) / std
-            row = jnp.arange(dh)[None, :, None, None]
-            col = jnp.arange(dw)[None, None, :, None]
-            inb = (row < valid_det[:, 0, None, None, None]) & (
-                col < valid_det[:, 1, None, None, None]
-            )
-            x = jnp.where(inb, x, -1.0)  # bucket padding -> normalized black
+            # bucket padding carries EDGE-REPLICATED content (the resize
+            # matrices extend the border pixel, and the upload planes are
+            # themselves edge-padded) — a constant fill here would paint a
+            # synthetic image->pad transition the det model fires on
+            # (corner false positives); the host postprocess only reads the
+            # per-image valid extents, so replicated pad content is inert
             x_nchw = jnp.transpose(x, (0, 3, 1, 2))
             if det_stride > 1:
                 # raw stride-s map straight from the head (models/dbnet.py)
@@ -410,6 +424,11 @@ class DevicePipeline:
 
         cls_label = jnp.asarray([int(v) for v in cfg.cls.label], jnp.int32)
         cls_thresh = float(cfg.cls.thresh)
+        from ..config import rot180_label_perm
+
+        cls_perm = (
+            rot180_label_perm(cfg.cls.label) if cfg.cls.symmetrize else None
+        )
 
         def clsrec_fwd(
             params_cls,
@@ -446,6 +465,11 @@ class DevicePipeline:
                     imgs_u8, rows, cls_homogs, cls_widths, valid_hw, ch, cw
                 ))
                 probs = cls_model.apply(params_cls, xc)
+                if cls_perm is not None:
+                    # orientation-symmetrized score (ClsConfig.symmetrize):
+                    # one extra tiny forward on the already-warped crops
+                    probs2 = cls_model.apply(params_cls, xc[:, :, ::-1, ::-1])
+                    probs = 0.5 * (probs + probs2[:, jnp.asarray(cls_perm)])
                 idx = jnp.argmax(probs, axis=-1)
                 score = jnp.max(probs, axis=-1)
                 flip = (cls_label[idx] == 180) & (score >= cls_thresh)

@@ -22,7 +22,14 @@ from typing import Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import BucketConfig, ClsConfig, DetConfig, PipelineMode, RecConfig
+from ..config import (
+    BucketConfig,
+    ClsConfig,
+    DetConfig,
+    PipelineMode,
+    RecConfig,
+    rot180_label_perm,
+)
 from ..image.io import ImageHelper, _pil_resize
 from ..image.ops import normalize_det, pad_to
 from ..image.resize import resize_either_dims
@@ -81,8 +88,10 @@ class DetStage:
         )
         bh = _bucket_up(rh, self.buckets.det_pad_to, self.buckets.det_max_side)
         bw = _bucket_up(rw, self.buckets.det_pad_to, self.buckets.det_max_side)
-        # pad with normalized black (-1): no synthetic edges for the model
-        x = pad_to(x, bh, bw, value=-1.0)
+        # edge-replicate pad: a constant fill (black/-1) paints a synthetic
+        # image->pad transition the det model fires on (corner false
+        # positives); the pred is sliced back to [:rh, :rw] below
+        x = pad_to(x, bh, bw, mode="edge")
         pred = engine.det(x)
         pred = pred[:, :, :rh, :rw]
         mask = binarize_dilate(
@@ -133,6 +142,13 @@ class ClsStage:
                         [batch, np.zeros((nb - len(chunk), *batch.shape[1:]), np.float32)]
                     )
             probs = np.asarray(engine.cls(batch))[: len(chunk)]
+            # orientation-symmetrized score (see ClsConfig.symmetrize):
+            # p(label | crop) averaged with p(rot180(label) | rot180(crop))
+            perm = rot180_label_perm(self.cfg.label) if self.cfg.symmetrize else None
+            if perm is not None:
+                flipped = np.ascontiguousarray(batch[:, :, ::-1, ::-1])
+                probs2 = np.asarray(engine.cls(flipped))[: len(chunk)]
+                probs = 0.5 * (probs + probs2[:, list(perm)])
             pred = probs.argmax(axis=1)
             for row, i in enumerate(chunk):
                 cls_idx = int(pred[row])

@@ -48,7 +48,9 @@ def test_rec_compat_min_width_is_image_shape():
 
 
 def test_cls_compat_chunking_and_shape():
-    cfg = ClsConfig(batch_num=3)
+    # symmetrize off: this test pins the reference's chunk semantics
+    # (one forward per chunk of batch_num, cls_processor.rs:137-139)
+    cfg = ClsConfig(batch_num=3, symmetrize=False)
     stage = ClsStage(cfg, BucketConfig(), PipelineMode.COMPAT)
     eng = FakeEngine(rec_classes=CHARS.num_classes)
     crops = crops_with_ratios([5, 4, 3, 2])
@@ -58,6 +60,21 @@ def test_cls_compat_chunking_and_shape():
     # cls input is always the fixed (3, 48, 192) shape
     assert all(c[1][1:] == (3, 48, 192) for c in cls_calls)
     assert len(labels) == 4
+
+
+def test_cls_symmetrize_runs_both_orientations_and_averages():
+    # orientation-blind engine: symmetrized score collapses to 0.5 and the
+    # 0.9 rotation gate never fires (ClsConfig.symmetrize docstring)
+    cfg = ClsConfig(batch_num=6)  # symmetrize defaults on
+    stage = ClsStage(cfg, BucketConfig(), PipelineMode.COMPAT)
+    eng = FakeEngine(cls_probs=(0.03, 0.97), rec_classes=CHARS.num_classes)
+    crops = crops_with_ratios([3, 2])
+    labels = stage(crops, eng)
+    cls_calls = [c for c in eng.calls if c[0] == "cls"]
+    assert len(cls_calls) == 2  # plain + rot180 forward per chunk
+    for lab in labels:
+        assert abs(lab.score - 0.5) < 1e-6
+    assert not any(c.rotated for c in crops if hasattr(c, "rotated"))
 
 
 def test_performance_width_buckets_quantize():

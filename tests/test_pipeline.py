@@ -31,6 +31,10 @@ CHARS = CharacterDict(["a", "b", "c"])
 
 def make_session(mode=PipelineMode.PERFORMANCE, **engine_kw):
     cfg = SessionConfig(mode=mode)
+    # FakeEngine is orientation-blind, so symmetrized cls scores collapse
+    # to 0.5 by design; these tests pin the reference's threshold/rotation
+    # semantics against the raw per-forward probabilities
+    cfg.cls.symmetrize = False
     engine = FakeEngine(rec_classes=CHARS.num_classes, **engine_kw)
     return RettoSession(cfg, engine=engine, charset=CHARS), engine
 
