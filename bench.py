@@ -82,7 +82,10 @@ def bench_rec_only() -> dict:
     if big.exists():
         from retto_tpu.weights import load_params
 
-        params = load_params(big)
+        # device_put once: host-numpy params re-upload the whole pytree
+        # through the ~40 MB/s tunnel on EVERY jitted call otherwise
+        # (51.7k -> 0.3k crops/s regression when this was missed)
+        params = jax.device_put(load_params(big))
     else:
         params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
