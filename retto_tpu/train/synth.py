@@ -145,9 +145,12 @@ def confusion_text(rng: np.random.Generator, max_words: int = 3) -> str:
                 w = w.capitalize()
             elif rr < 0.22:
                 w = w.upper()
-            if rng.random() < 0.15:
-                # double a letter ('hello'-style tight pairs)
-                j = int(rng.integers(0, len(w)))
+            if rng.random() < 0.08 and len(w) > 1:
+                # double an INTERIOR letter ('hello'-style tight pairs);
+                # leading doubles ('CCame') taught the rec model spurious
+                # double-prefixes at the original 0.15 rate ('Came' ->
+                # 'cCame' eval miss)
+                j = int(rng.integers(1, len(w)))
                 w = w[:j] + w[j] + w[j:]
         else:
             w = str(rng.integers(0, 10 ** int(rng.integers(2, 7))))

@@ -188,6 +188,16 @@ def train_cls(steps=9000, batch=128, lr=1e-3, data_n=24576, seed=1):
             text = str(rng.integers(0, 10**int(rng.integers(2, 7))))
         elif r < 0.30:
             text = natural_text(rng, max_words=1, digits_prob=0.0).lower()
+        elif r < 0.42:
+            # uppercase / mixed-case words: the n=512 eval's residual
+            # inverted-canonical flips are all-caps and TitleCase content
+            # ('WELL', 'DID You', 'Dog' rot) — letterforms like W/M, D/Q
+            # need their own 180-degree exposure
+            words = []
+            for _ in range(int(rng.integers(1, 3))):
+                w = natural_text(rng, max_words=1, digits_prob=0.15)
+                words.append(w.upper() if rng.random() < 0.5 else w.capitalize())
+            text = " ".join(words)
         else:
             text = natural_text(rng)
         img = render_line(
