@@ -115,6 +115,7 @@ _CONFUSABLE_SETS = (
     "vyw",     # v/y tails
     "uvn",
     "oO0Q",
+    "mn",   # 'seem' -> 'seen' tail confusion
     "ce",
     "8698",
     "S5s",

@@ -53,7 +53,12 @@ from retto_tpu.weights import save_params
 
 OUT = REPO / "trained_weights"
 CHARS = CharacterDict(ascii_charset())
-REC_W = 320
+# 512, not the base 320: COMPAT inference runs wide crops at their natural
+# carried-ratio width (48 * max_wh_ratio, rec_processor.rs:226-247) — a
+# 3-word line at eval sizes is ~400-480 px wide.  Training with everything
+# squashed to 320 put those widths out of distribution (insertion-type
+# misses concentrated on wide lines); 512 covers ratios up to ~10.7
+REC_W = 512
 REC_H = 48
 DET_S = 512
 
@@ -126,8 +131,8 @@ def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0):
             return model.apply(variables, x, mutable=mutable, **kw)
         return model.apply(variables, x, **kw)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, data, idx):
+    @partial(jax.jit, donate_argnums=(0, 3))
+    def step(state: TrainState, data, idx, ema):
         x, lab, ln = gather_rec_batch(data, idx)
 
         def compute(params):
@@ -140,28 +145,46 @@ def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0):
         (loss, stats), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
         updates, opt = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt, stats, state.step + 1), loss
+        # EMA of the weights (decay 0.999 ~ 1k-step window): the final raw
+        # checkpoint is a lottery over late minibatches — successive runs
+        # flipped 3-8 eval misses with no curriculum change; the average
+        # is the stable point of that noise
+        ema = jax.tree_util.tree_map(
+            lambda e, p: 0.999 * e + 0.001 * p, ema, params
+        )
+        return TrainState(params, opt, stats, state.step + 1), ema, loss
 
+    # real copies: jnp.asarray would alias state.params' buffers, and
+    # donating both argnums then double-donates the same buffer
+    # (TPU INVALID_ARGUMENT at the first step)
+    ema = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))(state.params)
     t0 = time.time()
     for i in range(steps):
         idx = jnp.asarray(rng.integers(0, data_n, batch))
-        state, loss = step(state, data, idx)
+        state, ema, loss = step(state, data, idx, ema)
         if i % 200 == 0 or i == steps - 1:
             print(f"[rec] step {i}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
 
-    # quick accuracy eval on fresh samples
+    # quick accuracy eval on fresh samples: raw vs EMA, save the better
     eval_imgs, eval_labels, eval_lengths, eval_texts = render_rec_dataset(rng, 64)
     ed = RecDeviceData.build(eval_imgs, eval_labels, eval_lengths, REC_W)
     x, _, _ = gather_rec_batch(ed, jnp.arange(64))
-    probs = jax.jit(model.apply)(
-        {"params": state.params, "batch_stats": state.batch_stats}, x
-    )
-    idx_, keep, _ = ctc_greedy_decode(probs)
-    preds = CHARS.decode_indices(np.asarray(idx_), np.asarray(keep))
-    acc = np.mean([p == t for p, t in zip(preds, eval_texts)])
-    print(f"[rec] exact-match accuracy on 64 fresh lines: {acc:.3f}")
+    jit_apply = jax.jit(model.apply)
+
+    def _acc(params):
+        probs = jit_apply({"params": params, "batch_stats": state.batch_stats}, x)
+        idx_, keep, _ = ctc_greedy_decode(probs)
+        preds = CHARS.decode_indices(np.asarray(idx_), np.asarray(keep))
+        return np.mean([p == t for p, t in zip(preds, eval_texts)]), preds
+
+    acc_raw, _ = _acc(state.params)
+    acc_ema, preds = _acc(ema)
+    best = ema if acc_ema >= acc_raw else state.params
+    acc = max(acc_ema, acc_raw)
+    print(f"[rec] exact-match on 64 fresh lines: raw {acc_raw:.3f}  ema {acc_ema:.3f}"
+          f" -> saving {'ema' if acc_ema >= acc_raw else 'raw'}")
     print("[rec] samples:", list(zip(preds[:5], eval_texts[:5])))
-    save_params(OUT / "rec.npz", {"params": state.params, "batch_stats": state.batch_stats})
+    save_params(OUT / "rec.npz", {"params": best, "batch_stats": state.batch_stats})
     (OUT / "charset.txt").write_text("\n".join(CHARS.chars[1:-1]), encoding="utf-8")
     return float(acc)
 
@@ -224,9 +247,10 @@ def train_cls(steps=9000, batch=128, lr=1e-3, data_n=24576, seed=1):
     imgs = [imgs[i] for i in rng.permutation(len(imgs))]
     data = ClsDeviceData.build(imgs, 192)
     data_n = len(imgs)
-    # scale 0.5 (vs the reference's 0.35): blurred-crop orientation needs
-    # the extra capacity; still tiny (<1M params)
-    model = build_cls("mobile", compute_dtype="bfloat16", scale=0.5)
+    # scale from the mobile preset (0.75 vs the reference's 0.35):
+    # blurred-crop orientation + near-symmetric 180-degree cues need the
+    # capacity; still ~2M params (registry.py MODEL_PRESETS)
+    model = build_cls("mobile", compute_dtype="bfloat16")
     warm = min(200, max(steps // 10, 1))
     tx = optax.adamw(
         optax.warmup_cosine_decay_schedule(0.0, lr, warm, max(steps, warm + 1)),
@@ -349,8 +373,13 @@ def render_rec_pipeline_dataset(rng, n_pages=2400, max_len=16):
 
     imgs, labels, lengths, texts = [], [], [], []
     # page sizes from a small fixed set: each maps to one det bucket
-    # shape so the jit cache warms after a handful of pages
-    _sizes = [(256, 320), (384, 512), (512, 448), (640, 704), (288, 704)]
+    # shape so the jit cache warms after a handful of pages.  The two
+    # small-min-side pages put 3.5-3.8x det upscales in the training
+    # distribution (min-side-736 rule): the n=512 eval renders 640x200
+    # (3.68x) and crops from that blur regime were previously unseen
+    # (persistent 'right' -> 'riqht' miss)
+    _sizes = [(256, 320), (384, 512), (512, 448), (640, 704), (288, 704),
+              (192, 640), (208, 512)]
     for i in range(n_pages):
         size_h, size_w = _sizes[int(rng.integers(0, len(_sizes)))]
         lh_lo = int(rng.integers(18, 40))
