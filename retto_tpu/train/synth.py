@@ -125,6 +125,12 @@ _CONFUSABLE_SETS = (
 _CONFUSABLE_WORDS = [
     w for w in _NATURAL_WORDS if any(c in w for c in "lIiyvuw")
 ]
+# Letters whose upper/lowercase glyphs differ only in SIZE (c/C, s/S, ...):
+# initial-letter case on these is decidable only from relative height vs
+# the rest of the word — the n=512 eval's residual case misses
+# ('say text'->'Say text', 'word'->'Word', 'GIVE'->'GIvE') all hinge on it
+_CASE_AMBIG = "cosuvwxz"
+_CASE_AMBIG_WORDS = [w for w in _NATURAL_WORDS if w[0] in _CASE_AMBIG]
 
 
 def confusion_text(rng: np.random.Generator, max_words: int = 3) -> str:
@@ -135,10 +141,24 @@ def confusion_text(rng: np.random.Generator, max_words: int = 3) -> str:
     words = []
     for _ in range(int(rng.integers(1, max_words + 1))):
         r = rng.random()
-        if r < 0.45:
+        if r < 0.40:
             s = _CONFUSABLE_SETS[int(rng.integers(0, len(_CONFUSABLE_SETS)))]
             k = int(rng.integers(2, 7))
             w = "".join(rng.choice(list(s), size=k))
+        elif r < 0.55:
+            # case-minimal pairs: same word, initial case flipped 50/50,
+            # mixed in ALL-CAPS form too (GIVE vs GIvE needs the interior
+            # lowercase-v-in-caps contrast)
+            w = _CASE_AMBIG_WORDS[int(rng.integers(0, len(_CASE_AMBIG_WORDS)))]
+            rr = rng.random()
+            if rr < 0.35:
+                w = w.capitalize()
+            elif rr < 0.55:
+                w = w.upper()
+            elif rr < 0.65 and len(w) >= 3:
+                # one interior letter demoted inside an ALL-CAPS word
+                j = int(rng.integers(1, len(w)))
+                w = w.upper()[:j] + w[j] + w.upper()[j + 1:]
         elif r < 0.80:
             w = _CONFUSABLE_WORDS[int(rng.integers(0, len(_CONFUSABLE_WORDS)))]
             rr = rng.random()
