@@ -100,9 +100,30 @@ def main() -> None:
             return model.apply(variables, x, mutable=mutable, **kw)
         return model.apply(variables, x, **kw)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, data, idx):
+    # multi-width training (same rationale as tools/train_synthetic.py
+    # train_rec): the mixer has no positional embedding and pad-region
+    # behavior does not generalize across sequence lengths, so train at
+    # the inference width buckets, drawing from content-fits pools
+    width_buckets = (320, 384, 448, 512)
+    width_probs = (0.25, 0.15, 0.15, 0.45)
+    widths_np = np.asarray(data.widths)
+    lengths_np = np.asarray(data.lengths)
+    # content fits AND CTC alignment feasible at T = w/8 frames
+    pools = {
+        w: np.where((widths_np <= w) & (1.5 * lengths_np + 2 <= w // 8))[0]
+        for w in width_buckets
+    }
+    keep = [i for i, w in enumerate(width_buckets) if len(pools[w]) >= args.batch]
+    width_buckets = tuple(width_buckets[i] for i in keep)
+    p = np.asarray([width_probs[i] for i in keep])
+    width_probs = tuple(p / p.sum())
+    print(f"[big] width buckets {width_buckets} pool sizes "
+          f"{[len(pools[w]) for w in width_buckets]}", flush=True)
+
+    @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+    def step(state: TrainState, data, idx, w):
         x, lab, ln = gather_rec_batch(data, idx)
+        x = x[:, :, :, :w]
 
         def compute(params):
             out, upd = apply_logits(
@@ -121,8 +142,10 @@ def main() -> None:
     t0 = time.time()
     n_data = len(imgs)
     for i in range(args.steps):
-        idx = jnp.asarray(rng.integers(0, n_data, args.batch))
-        state, loss = step(state, data, idx)
+        w = int(rng.choice(width_buckets, p=width_probs))
+        pool = pools[w]
+        idx = jnp.asarray(pool[rng.integers(0, len(pool), args.batch)])
+        state, loss = step(state, data, idx, w)
         if i % 200 == 0 or i == args.steps - 1:
             print(f"[big] step {i}: loss {float(loss):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
@@ -147,6 +170,18 @@ def main() -> None:
     print(f"[big] exact-sequence match on {n_eval} fresh lines: "
           f"{n_exact/n_eval:.4f}")
     print(f"[big] per-char accuracy: {n_chars_ok/max(n_chars,1):.4f}")
+    # narrow-bucket spot check (pad-robustness across sequence lengths)
+    nar = np.where(np.asarray(ed.widths) <= 320)[0][:64]
+    if len(nar):
+        x, _, _ = gather_rec_batch(ed, jnp.asarray(nar))
+        probs = jax.jit(model.apply)(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x[:, :, :, :320],
+        )
+        idx_, keep, _ = ctc_greedy_decode(probs)
+        preds = chars.decode_indices(np.asarray(idx_), np.asarray(keep))
+        accn = np.mean([preds[j] == etexts[q] for j, q in enumerate(nar)])
+        print(f"[big] exact match at w=320 on {len(nar)} narrow lines: {accn:.4f}")
     save_params(OUT / "rec_big.npz",
                 {"params": state.params, "batch_stats": state.batch_stats})
     (OUT / "charset_big.txt").write_text(

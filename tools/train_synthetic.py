@@ -103,10 +103,45 @@ def render_rec_dataset(rng, n):
     return imgs, np.asarray(labels), np.asarray(lengths), texts
 
 
-def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0):
-    rng = np.random.default_rng(seed)
+def _rec_render_cached(rng, data_n, cache: "Path | None"):
+    """Render (or load the cached) rec line set.  Rendering ~49k lines
+    costs ~15 min of serial host time on this 1-core machine — the cache
+    lets a retrain (or a render pass run while the TPU tunnel is down)
+    skip it.  The cache is keyed by (data_n, curriculum) externally: it is
+    written by tools/train_synthetic.py render-rec and must be deleted when
+    retto_tpu/train/synth.py's curriculum changes."""
+    if cache is not None and cache.exists():
+        z = np.load(cache)
+        if int(z["data_n"]) == data_n:
+            print(f"[rec] loaded {len(z['widths'])} cached lines from {cache}", flush=True)
+            buf, widths = z["buf"], z["widths"]
+            imgs = [buf[i, :, : widths[i]] for i in range(len(widths))]
+            return imgs, z["labels"], z["lengths"]
+        print(f"[rec] cache data_n mismatch ({int(z['data_n'])} != {data_n}); re-rendering", flush=True)
     print(f"[rec] rendering {data_n} lines ...", flush=True)
     imgs, labels, lengths, _ = render_rec_dataset(rng, data_n)
+    if cache is not None:
+        wmax = max(im.shape[1] for im in imgs)
+        buf = np.zeros((len(imgs), REC_H, wmax, 3), np.uint8)
+        widths = np.zeros((len(imgs),), np.int32)
+        for i, im in enumerate(imgs):
+            buf[i, :, : im.shape[1]] = im
+            widths[i] = im.shape[1]
+        np.savez_compressed(
+            cache, buf=buf, widths=widths, labels=labels,
+            lengths=lengths, data_n=data_n,
+        )
+        print(f"[rec] cached renders -> {cache}", flush=True)
+    return imgs, labels, lengths
+
+
+def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0,
+              data_cache: "Path | None" = None):
+    # separate rng streams so a cache hit on the rendered lines does not
+    # shift the pipeline-crop / training-loop randomness
+    rng_render = np.random.default_rng(seed)
+    rng = np.random.default_rng(seed + 1009)
+    imgs, labels, lengths = _rec_render_cached(rng_render, data_n, data_cache)
     if (OUT / "det.npz").exists():
         print("[rec] extracting pipeline crops ...", flush=True)
         pi, pl, pln, _ = render_rec_pipeline_dataset(rng)
@@ -131,9 +166,36 @@ def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0):
             return model.apply(variables, x, mutable=mutable, **kw)
         return model.apply(variables, x, **kw)
 
-    @partial(jax.jit, donate_argnums=(0, 3))
-    def step(state: TrainState, data, idx, ema):
+    # Multi-width training: the mixer has no positional embedding, but
+    # attention softmax mass depends on sequence length, so a model trained
+    # only at W=512 (T=64) emits spurious characters in the pad region at
+    # other widths (COMPAT carried-ratio batches start at 320 -> T=40;
+    # eval misses 'how'->'howI', 'TEXT'->'TEXT`' fired at pad frame 37/40).
+    # Train each step at a sampled bucket width, slicing the 512-wide
+    # device dataset; indices are drawn from per-bucket pools so content
+    # always fits (exactly like inference width bucketing).
+    width_buckets = (192, 320, 384, 448, 512)
+    width_probs = (0.08, 0.22, 0.15, 0.15, 0.40)
+    widths_np = np.asarray(data.widths)
+    lengths_np = np.asarray(data.lengths)
+    # besides content fitting, CTC alignment must be feasible at T = w/8
+    # frames (T >= L + repeats; 1.5L + 2 is a safe practical bound) —
+    # an infeasible pair yields inf loss and NaN grads
+    pools = {
+        w: np.where((widths_np <= w) & (1.5 * lengths_np + 2 <= w // 8))[0]
+        for w in width_buckets
+    }
+    keep = [i for i, w in enumerate(width_buckets) if len(pools[w]) >= batch]
+    width_buckets = tuple(width_buckets[i] for i in keep)
+    p = np.asarray([width_probs[i] for i in keep])
+    width_probs = tuple(p / p.sum())
+    print(f"[rec] width buckets {width_buckets} pool sizes "
+          f"{[len(pools[w]) for w in width_buckets]}", flush=True)
+
+    @partial(jax.jit, static_argnums=(4,), donate_argnums=(0, 3))
+    def step(state: TrainState, data, idx, ema, w):
         x, lab, ln = gather_rec_batch(data, idx)
+        x = x[:, :, :, :w]
 
         def compute(params):
             out, upd = apply_logits(
@@ -160,8 +222,10 @@ def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0):
     ema = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))(state.params)
     t0 = time.time()
     for i in range(steps):
-        idx = jnp.asarray(rng.integers(0, data_n, batch))
-        state, ema, loss = step(state, data, idx, ema)
+        w = int(rng.choice(width_buckets, p=width_probs))
+        pool = pools[w]
+        idx = jnp.asarray(pool[rng.integers(0, len(pool), batch)])
+        state, ema, loss = step(state, data, idx, ema, w)
         if i % 200 == 0 or i == steps - 1:
             print(f"[rec] step {i}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
 
@@ -185,8 +249,22 @@ def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0):
     print(f"[rec] exact-match on {n_eval} fresh lines: raw {acc_raw:.3f}  ema {acc_ema:.3f}"
           f" -> saving {'ema' if acc_ema >= acc_raw else 'raw'}")
     print("[rec] samples:", list(zip(preds[:5], eval_texts[:5])))
+    # save FIRST: the spot check below must not be able to cost a finished
+    # training run its checkpoint
     save_params(OUT / "rec.npz", {"params": best, "batch_stats": state.batch_stats})
     (OUT / "charset.txt").write_text("\n".join(CHARS.chars[1:-1]), encoding="utf-8")
+
+    # narrow-width spot check (the multi-width pad-robustness target):
+    # re-run the <=320px-content subset at the 320 bucket
+    nar = np.where(np.asarray(ed.widths) <= 320)[0]
+    if len(nar):
+        xn, _, _ = gather_rec_batch(ed, jnp.asarray(nar))
+        pn = jit_apply({"params": best, "batch_stats": state.batch_stats},
+                       xn[:, :, :, :320])
+        i_, k_, _ = ctc_greedy_decode(pn)
+        pr = CHARS.decode_indices(np.asarray(i_), np.asarray(k_))
+        accn = np.mean([pr[j] == eval_texts[q] for j, q in enumerate(nar)])
+        print(f"[rec] saved-ckpt exact-match at w=320 on {len(nar)} narrow lines: {accn:.3f}")
     return float(acc)
 
 
@@ -525,16 +603,28 @@ def train_det(steps=6000, batch=8, lr=8e-4, data_n=640, seed=2):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("target", choices=["rec", "cls", "det", "all"], nargs="?", default="all")
+    ap.add_argument("target", choices=["rec", "cls", "det", "all", "render-rec"],
+                    nargs="?", default="all")
     ap.add_argument("--steps-scale", type=float, default=1.0)
+    ap.add_argument("--data-cache", type=Path, default=None,
+                    help="npz cache for the rendered rec lines (render-rec "
+                         "writes it; rec reads it). Delete when the synth "
+                         "curriculum changes.")
     args = ap.parse_args()
     OUT.mkdir(exist_ok=True)
     s = args.steps_scale
+    if args.target == "render-rec":
+        # render-only pass: populate the cache on the host (e.g. while the
+        # TPU tunnel is down) so the training run skips the ~15 min render
+        assert args.data_cache is not None, "render-rec needs --data-cache"
+        _rec_render_cached(np.random.default_rng(0), int(49152 * s), args.data_cache)
+        return
     if args.target in ("rec", "all"):
         # 24k steps / 49k fresh lines: the n=512 residual misses are tail
         # modes (case pairs, y/v, m/n) that need more fresh-sample exposure;
         # device time is ~3 min, host render time dominates
-        train_rec(steps=int(24000 * s), data_n=int(49152 * s))
+        train_rec(steps=int(24000 * s), data_n=int(49152 * s),
+                  data_cache=args.data_cache)
     if args.target in ("cls", "all"):
         train_cls(steps=int(18000 * s))
     if args.target in ("det", "all"):
