@@ -213,3 +213,40 @@ class TestBigVocab:
         img = render_big_line(ids, 48, rng)
         assert img.shape[0] == 48 and img.shape[2] == 3
         assert img.shape[1] >= 32 * len(ids) // 2
+
+
+class TestDatasetCache:
+    """tools/train_synthetic.py render caches: ragged round trip + keying."""
+
+    def test_ragged_roundtrip(self, tmp_path):
+        from tools.train_synthetic import _load_ragged, _save_ragged
+
+        rng = np.random.default_rng(0)
+        imgs = [
+            rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+            for h, w in [(48, 37), (12, 220), (300, 8)]
+        ]
+        lab = np.arange(6).reshape(3, 2).astype(np.int32)
+        _save_ragged(tmp_path / "x.npz", imgs, labels=lab)
+        out, extras = _load_ragged(tmp_path / "x.npz")
+        assert len(out) == 3
+        for a, b in zip(imgs, out):
+            assert np.array_equal(a, b)
+        assert np.array_equal(extras["labels"], lab)
+
+    def test_cached_hit_miss_and_key(self, tmp_path):
+        from tools.train_synthetic import _cached
+
+        calls = []
+
+        def render():
+            calls.append(1)
+            return [np.zeros((4, 4, 3), np.uint8)], {"v": np.asarray([7])}
+
+        i1, e1 = _cached(tmp_path, "d", 10, render)
+        i2, e2 = _cached(tmp_path, "d", 10, render)  # hit
+        assert len(calls) == 1 and np.array_equal(e2["v"], e1["v"])
+        _cached(tmp_path, "d", 11, render)  # key mismatch -> re-render
+        assert len(calls) == 2
+        i4, _ = _cached(None, "d", 10, render)  # no cache dir -> render
+        assert len(calls) == 3 and len(i4) == 1

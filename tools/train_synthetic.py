@@ -103,53 +103,88 @@ def render_rec_dataset(rng, n):
     return imgs, np.asarray(labels), np.asarray(lengths), texts
 
 
-def _rec_render_cached(rng, data_n, cache: "Path | None"):
-    """Render (or load the cached) rec line set.  Rendering ~49k lines
-    costs ~15 min of serial host time on this 1-core machine — the cache
-    lets a retrain (or a render pass run while the TPU tunnel is down)
-    skip it.  The cache is keyed by (data_n, curriculum) externally: it is
-    written by tools/train_synthetic.py render-rec and must be deleted when
-    retto_tpu/train/synth.py's curriculum changes."""
-    if cache is not None and cache.exists():
-        z = np.load(cache)
-        if int(z["data_n"]) == data_n:
-            print(f"[rec] loaded {len(z['widths'])} cached lines from {cache}", flush=True)
-            buf, widths = z["buf"], z["widths"]
-            imgs = [buf[i, :, : widths[i]] for i in range(len(widths))]
-            return imgs, z["labels"], z["lengths"]
-        print(f"[rec] cache data_n mismatch ({int(z['data_n'])} != {data_n}); re-rendering", flush=True)
-    print(f"[rec] rendering {data_n} lines ...", flush=True)
-    imgs, labels, lengths, _ = render_rec_dataset(rng, data_n)
-    if cache is not None:
-        wmax = max(im.shape[1] for im in imgs)
-        buf = np.zeros((len(imgs), REC_H, wmax, 3), np.uint8)
-        widths = np.zeros((len(imgs),), np.int32)
-        for i, im in enumerate(imgs):
-            buf[i, :, : im.shape[1]] = im
-            widths[i] = im.shape[1]
-        np.savez_compressed(
-            cache, buf=buf, widths=widths, labels=labels,
-            lengths=lengths, data_n=data_n,
-        )
-        print(f"[rec] cached renders -> {cache}", flush=True)
+def _save_ragged(path: Path, imgs: list, **arrays) -> None:
+    """Cache a list of HxWx3 uint8 images (ragged shapes) + extra arrays."""
+    hmax = max(im.shape[0] for im in imgs)
+    wmax = max(im.shape[1] for im in imgs)
+    buf = np.zeros((len(imgs), hmax, wmax, 3), np.uint8)
+    hs = np.zeros((len(imgs),), np.int32)
+    ws = np.zeros((len(imgs),), np.int32)
+    for i, im in enumerate(imgs):
+        buf[i, : im.shape[0], : im.shape[1]] = im
+        hs[i], ws[i] = im.shape[:2]
+    np.savez_compressed(path, buf=buf, hs=hs, ws=ws, **arrays)
+
+
+def _load_ragged(path: Path):
+    z = np.load(path)
+    hs, ws = z["hs"], z["ws"]
+    imgs = [z["buf"][i, : hs[i], : ws[i]] for i in range(len(hs))]
+    extras = {k: z[k] for k in z.files if k not in ("buf", "hs", "ws")}
+    return imgs, extras
+
+
+def _cached(cache_dir: "Path | None", name: str, key: int, render_fn):
+    """Load ``{cache_dir}/{name}.npz`` if present and its ``key`` matches
+    (key = data_n / n_pages — the curriculum itself is NOT keyed: delete
+    the cache dir when retto_tpu/train/synth.py changes), else call
+    ``render_fn()`` (returning (imgs, extras dict)) and cache the result.
+    Host rendering is the retrain bottleneck on this 1-core machine
+    (~15 min for 49k rec lines; pipeline-crop extraction similar), and the
+    cache also lets the render pass run while the TPU tunnel is down."""
+    path = None if cache_dir is None else cache_dir / f"{name}.npz"
+    if path is not None and path.exists():
+        imgs, extras = _load_ragged(path)
+        if int(extras.pop("cache_key")) == key:
+            print(f"[cache] loaded {len(imgs)} images from {path}", flush=True)
+            return imgs, extras
+        print(f"[cache] {path} key mismatch; re-rendering", flush=True)
+    imgs, extras = render_fn()
+    if path is not None and len(imgs):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        _save_ragged(path, imgs, cache_key=np.int64(key), **extras)
+        print(f"[cache] saved {len(imgs)} images -> {path}", flush=True)
+    return imgs, extras
+
+
+REC_PIPE_PAGES = 4800
+
+
+def prepare_rec_data(data_n, seed, data_cache: "Path | None",
+                     pipe_pages: int = REC_PIPE_PAGES):
+    """Rec training set = fresh rendered lines + real-pipeline crops, each
+    independently cached (separate rng streams so a cache hit on one phase
+    does not shift the other's randomness)."""
+    rng_render = np.random.default_rng(seed)
+    rng_pipe = np.random.default_rng(seed + 501)
+
+    def _render_lines():
+        print(f"[rec] rendering {data_n} lines ...", flush=True)
+        im, la, ln, _ = render_rec_dataset(rng_render, data_n)
+        return im, {"labels": la, "lengths": ln}
+
+    imgs, ex = _cached(data_cache, "rec_lines", data_n, _render_lines)
+    labels, lengths = ex["labels"], ex["lengths"]
+    if (OUT / "det.npz").exists():
+
+        def _render_pipe():
+            print("[rec] extracting pipeline crops ...", flush=True)
+            im, la, ln, _ = render_rec_pipeline_dataset(rng_pipe, pipe_pages)
+            return im, {"labels": la, "lengths": ln}
+
+        pi, pex = _cached(data_cache, "rec_pipe", pipe_pages, _render_pipe)
+        if len(pi):
+            imgs = imgs + pi
+            labels = np.concatenate([labels, pex["labels"]])
+            lengths = np.concatenate([lengths, pex["lengths"]])
+        print(f"[rec] +{len(pi)} pipeline crops = {len(imgs)}", flush=True)
     return imgs, labels, lengths
 
 
 def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0,
               data_cache: "Path | None" = None):
-    # separate rng streams so a cache hit on the rendered lines does not
-    # shift the pipeline-crop / training-loop randomness
-    rng_render = np.random.default_rng(seed)
     rng = np.random.default_rng(seed + 1009)
-    imgs, labels, lengths = _rec_render_cached(rng_render, data_n, data_cache)
-    if (OUT / "det.npz").exists():
-        print("[rec] extracting pipeline crops ...", flush=True)
-        pi, pl, pln, _ = render_rec_pipeline_dataset(rng)
-        if len(pi):
-            imgs = imgs + pi
-            labels = np.concatenate([labels, pl])
-            lengths = np.concatenate([lengths, pln])
-        print(f"[rec] +{len(pi)} pipeline crops = {len(imgs)}", flush=True)
+    imgs, labels, lengths = prepare_rec_data(data_n, seed, data_cache)
     data_n = len(imgs)
     data = RecDeviceData.build(imgs, labels, lengths, REC_W)
 
@@ -268,16 +303,56 @@ def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0,
     return float(acc)
 
 
-def train_cls(steps=9000, batch=128, lr=1e-3, data_n=24576, seed=1):
-    rng = np.random.default_rng(seed)
+CLS_PIPE_PAGES = 1600
+
+
+def prepare_cls_data(data_n, seed, data_cache: "Path | None",
+                     pipe_pages: int = CLS_PIPE_PAGES):
+    """Cls training set = real-pipeline crops + rendered lines, each
+    independently cached (separate rng streams, same rationale as
+    prepare_rec_data)."""
+    rng_pipe = np.random.default_rng(seed + 501)
+    rng_render = np.random.default_rng(seed)
     imgs = []
     if (OUT / "det.npz").exists():
-        print("[cls] extracting crops via the real det pipeline ...", flush=True)
-        imgs = render_cls_pipeline_dataset(rng)
+
+        def _render_pipe():
+            print("[cls] extracting crops via the real det pipeline ...", flush=True)
+            return render_cls_pipeline_dataset(rng_pipe, pipe_pages), {}
+
+        imgs, _ = _cached(data_cache, "cls_pipe", pipe_pages, _render_pipe)
         print(f"[cls] {len(imgs)} pipeline crops", flush=True)
-    print(f"[cls] rendering {data_n} lines ...", flush=True)
-    usable = CHARS.chars[1:-1]
-    from PIL import Image as _I
+
+    def _render_lines():
+        print(f"[cls] rendering {data_n} lines ...", flush=True)
+        return _render_cls_lines(rng_render, data_n), {}
+
+    rendered, _ = _cached(data_cache, "cls_lines", data_n, _render_lines)
+    return imgs + rendered
+
+
+def train_cls(steps=9000, batch=128, lr=1e-3, data_n=24576, seed=1,
+              data_cache: "Path | None" = None):
+    rng = np.random.default_rng(seed + 1009)
+    imgs = prepare_cls_data(data_n, seed, data_cache)
+    imgs = [imgs[i] for i in rng.permutation(len(imgs))]
+    data = ClsDeviceData.build(imgs, 192)
+    data_n = len(imgs)
+    # scale from the mobile preset (0.75 vs the reference's 0.35):
+    # blurred-crop orientation + near-symmetric 180-degree cues need the
+    # capacity; still ~2M params (registry.py MODEL_PRESETS)
+    model = build_cls("mobile", compute_dtype="bfloat16")
+    warm = min(200, max(steps // 10, 1))
+    tx = optax.adamw(
+        optax.warmup_cosine_decay_schedule(0.0, lr, warm, max(steps, warm + 1)),
+        weight_decay=1e-4,
+    )
+    state = init_train_state(model, tx, np.zeros((2, 3, 48, 192), np.float32))
+    return _cls_fit(model, tx, state, data, data_n, rng, steps, batch)
+
+
+def _render_cls_lines(rng, data_n):
+    imgs = []
     for _ in range(data_n):
         fg, bg = ((255, 255, 255), (0, 0, 0)) if rng.random() < 0.3 else ((0, 0, 0), (255, 255, 255))
         # oversample near-rotation-symmetric content (digit runs, short
@@ -323,20 +398,10 @@ def train_cls(steps=9000, batch=128, lr=1e-3, data_n=24576, seed=1):
             img = _pil_resize(img, max(int(img.shape[1] * up), 8),
                               max(int(img.shape[0] * up), 8))
         imgs.append(img)  # raw; ClsDeviceData resizes both orientations
-    imgs = [imgs[i] for i in rng.permutation(len(imgs))]
-    data = ClsDeviceData.build(imgs, 192)
-    data_n = len(imgs)
-    # scale from the mobile preset (0.75 vs the reference's 0.35):
-    # blurred-crop orientation + near-symmetric 180-degree cues need the
-    # capacity; still ~2M params (registry.py MODEL_PRESETS)
-    model = build_cls("mobile", compute_dtype="bfloat16")
-    warm = min(200, max(steps // 10, 1))
-    tx = optax.adamw(
-        optax.warmup_cosine_decay_schedule(0.0, lr, warm, max(steps, warm + 1)),
-        weight_decay=1e-4,
-    )
-    state = init_train_state(model, tx, np.zeros((2, 3, 48, 192), np.float32))
+    return imgs
 
+
+def _cls_fit(model, tx, state, data, data_n, rng, steps, batch):
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, data, idx, rot, gain, bias):
         x, lab = gather_cls_batch(data, idx, rot, gain, bias)
@@ -603,21 +668,31 @@ def train_det(steps=6000, batch=8, lr=8e-4, data_n=640, seed=2):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("target", choices=["rec", "cls", "det", "all", "render-rec"],
+    ap.add_argument("target", choices=["rec", "cls", "det", "all", "render"],
                     nargs="?", default="all")
     ap.add_argument("--steps-scale", type=float, default=1.0)
     ap.add_argument("--data-cache", type=Path, default=None,
-                    help="npz cache for the rendered rec lines (render-rec "
-                         "writes it; rec reads it). Delete when the synth "
-                         "curriculum changes.")
+                    help="cache DIR for the rendered datasets (rec_lines/"
+                         "rec_pipe/cls_lines/cls_pipe.npz). 'render' "
+                         "populates it host-side; rec/cls read it. Delete "
+                         "it when the synth curriculum changes.")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin jax to CPU (the harness sitecustomize pins "
+                         "the axon TPU platform programmatically; use this "
+                         "to e.g. run 'render' while the tunnel is down)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     OUT.mkdir(exist_ok=True)
     s = args.steps_scale
-    if args.target == "render-rec":
-        # render-only pass: populate the cache on the host (e.g. while the
-        # TPU tunnel is down) so the training run skips the ~15 min render
-        assert args.data_cache is not None, "render-rec needs --data-cache"
-        _rec_render_cached(np.random.default_rng(0), int(49152 * s), args.data_cache)
+    if args.target == "render":
+        # render-only pass: populate every cache on the host (e.g. while
+        # the TPU tunnel is down) so training runs skip the render time
+        assert args.data_cache is not None, "render needs --data-cache"
+        prepare_rec_data(int(49152 * s), 0, args.data_cache,
+                         pipe_pages=int(REC_PIPE_PAGES * s))
+        prepare_cls_data(int(24576 * s), 1, args.data_cache,
+                         pipe_pages=int(CLS_PIPE_PAGES * s))
         return
     if args.target in ("rec", "all"):
         # 24k steps / 49k fresh lines: the n=512 residual misses are tail
@@ -626,7 +701,7 @@ def main():
         train_rec(steps=int(24000 * s), data_n=int(49152 * s),
                   data_cache=args.data_cache)
     if args.target in ("cls", "all"):
-        train_cls(steps=int(18000 * s))
+        train_cls(steps=int(18000 * s), data_cache=args.data_cache)
     if args.target in ("det", "all"):
         train_det(steps=int(6000 * s))
 
