@@ -302,7 +302,40 @@ def bench_server_smoke() -> dict:
     }
 
 
+def _probe_backend(timeout_s: float = 180.0) -> "str | None":
+    """Liveness probe: the tunneled TPU backend can hang indefinitely
+    (CLAUDE.md; observed multi-hour outages where jax.devices() never
+    returns).  Run a scalar round trip in a daemon thread; on timeout,
+    return an error string so main() can emit an explicit-error JSON line
+    instead of hanging the driver."""
+    import threading
+
+    err: list = [f"TPU backend unreachable: no scalar round trip within {timeout_s:.0f}s (tunnel down)"]
+
+    def _try():
+        try:
+            import jax.numpy as jnp
+
+            np.asarray(jnp.zeros(()) + 1)
+            err[0] = None
+        except Exception as e:  # noqa: BLE001 - report any backend failure
+            err[0] = f"TPU backend error: {e}"
+
+    t = threading.Thread(target=_try, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return err[0]
+
+
 def main() -> None:
+    probe_err = _probe_backend()
+    if probe_err is not None:
+        print(json.dumps({
+            "metric": "det+cls+rec full-document images/sec/chip",
+            "value": 0.0, "unit": "imgs/sec/chip", "vs_baseline": 0.0,
+            "error": probe_err,
+        }))
+        return
     weights_dir = Path(__file__).parent / "trained_weights"
     if (weights_dir / "rec.npz").exists() and (weights_dir / "det.npz").exists():
         result = bench_full_pipeline(weights_dir)
