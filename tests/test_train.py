@@ -250,3 +250,7 @@ class TestDatasetCache:
         assert len(calls) == 2
         i4, _ = _cached(None, "d", 10, render)  # no cache dir -> render
         assert len(calls) == 3 and len(i4) == 1
+        # a torn/corrupt cache file is a miss, not a crash
+        (tmp_path / "d.npz").write_bytes(b"not an npz")
+        i5, _ = _cached(tmp_path, "d", 11, render)
+        assert len(calls) == 4 and len(i5) == 1

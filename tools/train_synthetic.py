@@ -14,6 +14,7 @@ Usage:  python tools/train_synthetic.py [rec|cls|det|all] [--steps-scale S]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from functools import partial
@@ -134,15 +135,22 @@ def _cached(cache_dir: "Path | None", name: str, key: int, render_fn):
     cache also lets the render pass run while the TPU tunnel is down."""
     path = None if cache_dir is None else cache_dir / f"{name}.npz"
     if path is not None and path.exists():
-        imgs, extras = _load_ragged(path)
-        if int(extras.pop("cache_key")) == key:
-            print(f"[cache] loaded {len(imgs)} images from {path}", flush=True)
-            return imgs, extras
-        print(f"[cache] {path} key mismatch; re-rendering", flush=True)
+        try:
+            imgs, extras = _load_ragged(path)
+            if int(extras.pop("cache_key")) == key:
+                print(f"[cache] loaded {len(imgs)} images from {path}", flush=True)
+                return imgs, extras
+            print(f"[cache] {path} key mismatch; re-rendering", flush=True)
+        except Exception as e:  # noqa: BLE001 - a corrupt/partial cache is a miss
+            print(f"[cache] {path} unreadable ({e}); re-rendering", flush=True)
     imgs, extras = render_fn()
     if path is not None and len(imgs):
         path.parent.mkdir(parents=True, exist_ok=True)
-        _save_ragged(path, imgs, cache_key=np.int64(key), **extras)
+        # write-then-rename: concurrent writers (e.g. a CPU pre-render racing
+        # a TPU training run) must never leave a torn file
+        tmp = path.with_suffix(f".tmp{os.getpid()}.npz")
+        _save_ragged(tmp, imgs, cache_key=np.int64(key), **extras)
+        os.replace(tmp, path)
         print(f"[cache] saved {len(imgs)} images -> {path}", flush=True)
     return imgs, extras
 
