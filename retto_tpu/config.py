@@ -102,6 +102,15 @@ class RecConfig:
     characters: tuple[str, ...] | None = None
     image_shape: tuple[int, int, int] = (3, 48, 320)  # CHW
     batch_num: int = 6
+    # PERFORMANCE-only: force CTC timesteps that fall entirely inside the
+    # right zero-padding (beyond the crop's content width) to blank before
+    # decode.  The pad region is synthetic — no text can exist there — but a
+    # marginal non-blank argmax deep in it appends a junk char to an
+    # otherwise exact decode (observed tail mode: 'how' -> 'howI' with
+    # 'I'@0.82 at t=38/40 in pure pad).  COMPAT ignores this flag and
+    # decodes the full padded width like the reference
+    # (rec_processor.rs:56-75).
+    mask_pad_timesteps: bool = True
 
 
 class PipelineMode(str, enum.Enum):

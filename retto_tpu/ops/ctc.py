@@ -23,7 +23,9 @@ __all__ = ["ctc_greedy_decode"]
 
 @partial(jax.jit, static_argnames=("remove_duplicate",))
 def ctc_greedy_decode(
-    probs: jax.Array, remove_duplicate: bool = True
+    probs: jax.Array,
+    remove_duplicate: bool = True,
+    valid_t: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """probs: [N, T, C] post-softmax.  Returns (idx, keep, score):
 
@@ -34,10 +36,22 @@ def ctc_greedy_decode(
       token 0 is the blank, set by the session at session.rs:66)
     * score [N] f32 — mean prob over kept steps (0 when none kept, matching
       the reference's 0/0 -> NaN guarded to empty-string results)
+
+    valid_t (optional, [N] int32): per-row count of timesteps that map onto
+    the crop's CONTENT extent; steps >= valid_t fall entirely inside the
+    right zero-padding (image_helper.rs:203-208) where no text can exist,
+    so they are forced to blank.  PERFORMANCE-mode guard against marginal
+    pad-region hallucinations (a low-confidence non-blank argmax deep in
+    the pad appends a junk char to an otherwise exact decode); COMPAT
+    callers pass None — the reference decodes the full padded width
+    (rec_processor.rs:56-75).
     """
     idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     prob = jnp.max(probs, axis=-1)
     keep = idx != 0
+    if valid_t is not None:
+        steps = jnp.arange(idx.shape[1], dtype=jnp.int32)[None, :]
+        keep = keep & (steps < valid_t.astype(jnp.int32)[:, None])
     if remove_duplicate:
         shifted = jnp.concatenate([jnp.full_like(idx[:, :1], -1), idx[:, :-1]], axis=1)
         keep = keep & (idx != shifted)

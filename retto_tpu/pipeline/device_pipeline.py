@@ -483,7 +483,16 @@ class DevicePipeline:
                 imgs_u8, rows, geo, rec_widths, valid_hw, rh, out_w
             ))
             rec_probs = rec_model.apply(params_rec, xr)
-            idxs, keep, scores = ctc_greedy_decode(rec_probs)
+            valid_t = None
+            if cfg.rec.mask_pad_timesteps:
+                # pad-region CTC masking (RecConfig.mask_pad_timesteps):
+                # rec_widths is each crop/segment's content extent on the
+                # out_w canvas; steps past it (+1 slack) are pad-only
+                t_steps = rec_probs.shape[1]
+                valid_t = jnp.minimum(
+                    jnp.ceil(t_steps * rec_widths / out_w) + 1, t_steps
+                ).astype(jnp.int32)
+            idxs, keep, scores = ctc_greedy_decode(rec_probs, valid_t=valid_t)
             return probs, flip, idxs, keep, scores
 
         self._clsrec_fwd = jax.jit(

@@ -234,14 +234,37 @@ class RecStage:
                     batch = np.concatenate(
                         [batch, np.zeros((nb - len(idxs), *batch.shape[1:]), np.float32)]
                     )
-                self._run_decode(engine, batch, idxs, out)
+                widths = None
+                if self.cfg.mask_pad_timesteps:
+                    # content width on the bw-wide canvas, for pad-region
+                    # CTC masking (RecConfig.mask_pad_timesteps)
+                    widths = np.full((nb,), bw, np.int32)
+                    for k, i in enumerate(idxs):
+                        h, w = crops[i].size()
+                        widths[k] = min(int(math.ceil(img_h * w / h)), bw)
+                self._run_decode(engine, batch, idxs, out, widths, bw)
         return out
 
     def _run_decode(
-        self, engine, batch: np.ndarray, idxs: Sequence[int], out: list[RecText]
+        self,
+        engine,
+        batch: np.ndarray,
+        idxs: Sequence[int],
+        out: list[RecText],
+        widths: np.ndarray | None = None,
+        bucket_w: int | None = None,
     ) -> None:
         probs = engine.rec(batch)
-        idx, keep, score = ctc_greedy_decode(probs)
+        valid_t = None
+        if widths is not None:
+            # timestep t covers pixels [t, t+1) * bucket_w / T; steps whose
+            # window starts past the content edge (+1 step of slack for the
+            # final glyph's receptive-field spill) are pad-only
+            t_steps = probs.shape[1]
+            valid_t = jnp.minimum(
+                jnp.ceil(t_steps * jnp.asarray(widths) / bucket_w) + 1, t_steps
+            ).astype(jnp.int32)
+        idx, keep, score = ctc_greedy_decode(probs, valid_t=valid_t)
         texts = self.chars.decode_indices(
             np.asarray(idx)[: len(idxs)], np.asarray(keep)[: len(idxs)]
         )

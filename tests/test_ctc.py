@@ -54,6 +54,28 @@ def test_batch_rows_independent():
     assert texts == ["abc", "cc"]
 
 
+def test_valid_t_masks_pad_region():
+    # a junk non-blank argmax deep in the padded tail ('how' -> 'howI'
+    # tail mode) is dropped by valid_t; without valid_t it is kept
+    chars = CharacterDict(["a", "b", "I"])
+    rows = [[1, 2, 0, 0, 0, 0, 0, 3], [1, 2, 3, 0, 0, 0, 0, 0]]
+    probs = probs_from_indices(rows, chars.num_classes)
+    valid_t = jnp.asarray([3, 8], jnp.int32)  # row 0: steps >=3 are pad
+    idx, keep, _ = ctc_greedy_decode(probs, valid_t=valid_t)
+    assert chars.decode_indices(np.asarray(idx), np.asarray(keep)) == ["ab", "abI"]
+    idx, keep, _ = ctc_greedy_decode(probs)
+    assert chars.decode_indices(np.asarray(idx), np.asarray(keep)) == ["abI", "abI"]
+
+
+def test_valid_t_affects_score():
+    chars = CharacterDict(["a", "b"])
+    probs = np.zeros((1, 4, 4), np.float32)
+    probs[0, 0, 1] = 0.8  # 'a' kept
+    probs[0, 3, 2] = 0.4  # 'b' in pad -> masked
+    _, _, score = ctc_greedy_decode(jnp.asarray(probs), valid_t=jnp.asarray([2]))
+    assert float(score[0]) == pytest.approx(0.8, abs=1e-6)
+
+
 def test_score_is_mean_of_kept_probs():
     chars = CharacterDict(["a", "b"])
     probs = np.zeros((1, 3, 4), np.float32)
