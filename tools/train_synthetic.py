@@ -105,23 +105,34 @@ def render_rec_dataset(rng, n):
 
 
 def _save_ragged(path: Path, imgs: list, **arrays) -> None:
-    """Cache a list of HxWx3 uint8 images (ragged shapes) + extra arrays."""
-    hmax = max(im.shape[0] for im in imgs)
-    wmax = max(im.shape[1] for im in imgs)
-    buf = np.zeros((len(imgs), hmax, wmax, 3), np.uint8)
-    hs = np.zeros((len(imgs),), np.int32)
-    ws = np.zeros((len(imgs),), np.int32)
-    for i, im in enumerate(imgs):
-        buf[i, : im.shape[0], : im.shape[1]] = im
-        hs[i], ws[i] = im.shape[:2]
-    np.savez_compressed(path, buf=buf, hs=hs, ws=ws, **arrays)
+    """Cache a list of HxWx3 uint8 images (ragged shapes) + extra arrays.
+
+    Images are concatenated into ONE flat byte buffer with per-image
+    offsets.  (The earlier dense layout — zero-pad every image to
+    (N, hmax, wmax, 3) — cross-multiplies the tallest image by the widest:
+    with the upscale-augmented cls curriculum that's >100 GB for a 687 MB
+    file, and loading it OOM-killed the host.)"""
+    hs = np.asarray([im.shape[0] for im in imgs], np.int32)
+    ws = np.asarray([im.shape[1] for im in imgs], np.int32)
+    flat = np.concatenate([np.asarray(im, np.uint8).reshape(-1) for im in imgs])
+    np.savez_compressed(path, flat=flat, hs=hs, ws=ws, **arrays)
 
 
 def _load_ragged(path: Path):
     z = np.load(path)
     hs, ws = z["hs"], z["ws"]
-    imgs = [z["buf"][i, : hs[i], : ws[i]] for i in range(len(hs))]
-    extras = {k: z[k] for k in z.files if k not in ("buf", "hs", "ws")}
+    if "flat" in z.files:
+        flat = z["flat"]
+        offs = np.concatenate([[0], np.cumsum(hs.astype(np.int64) * ws * 3)])
+        imgs = [
+            flat[offs[i] : offs[i + 1]].reshape(hs[i], ws[i], 3)
+            for i in range(len(hs))
+        ]
+    else:  # legacy dense layout (safe only for near-uniform shapes)
+        imgs = [z["buf"][i, : hs[i], : ws[i]] for i in range(len(hs))]
+    extras = {
+        k: z[k] for k in z.files if k not in ("buf", "flat", "hs", "ws")
+    }
     return imgs, extras
 
 
