@@ -21,8 +21,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import numpy as np
-
 REPO = Path(__file__).resolve().parent.parent
 WEIGHTS = REPO / "trained_weights"
 
