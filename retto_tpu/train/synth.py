@@ -131,6 +131,17 @@ _CONFUSABLE_WORDS = [
 # ('say text'->'Say text', 'word'->'Word', 'GIVE'->'GIvE') all hinge on it
 _CASE_AMBIG = "cosuvwxz"
 _CASE_AMBIG_WORDS = [w for w in _NATURAL_WORDS if w[0] in _CASE_AMBIG]
+# m/n minimal pairs, final position emphasized: the residual 'seem'->'seen'
+# / 'see come'->'see coe' n=512 misses hinge on the last hump of a
+# word-final m, which collapses under the pipeline's resize blur
+_MN_WORDS = (
+    "seem seen them then warm warn come some name nine mine item main man "
+    "men mean moon noon rain ran ram norm menu"
+).split()
+# trailing/leading punctuation: the model must know what a REAL backtick /
+# quote / period looks like so a glyph-edge artifact at the content
+# boundary stops reading as one ('TEXT' -> 'TEXT`' eval miss)
+_PUNCT_MARKS = list("`'\".,!?:;")
 
 
 def confusion_text(rng: np.random.Generator, max_words: int = 3) -> str:
@@ -141,7 +152,14 @@ def confusion_text(rng: np.random.Generator, max_words: int = 3) -> str:
     words = []
     for _ in range(int(rng.integers(1, max_words + 1))):
         r = rng.random()
-        if r < 0.40:
+        if r < 0.10:
+            w = _MN_WORDS[int(rng.integers(0, len(_MN_WORDS)))]
+            rr = rng.random()
+            if rr < 0.15:
+                w = w.capitalize()
+            elif rr < 0.25:
+                w = w.upper()
+        elif r < 0.45:
             s = _CONFUSABLE_SETS[int(rng.integers(0, len(_CONFUSABLE_SETS)))]
             k = int(rng.integers(2, 7))
             w = "".join(rng.choice(list(s), size=k))
@@ -175,6 +193,10 @@ def confusion_text(rng: np.random.Generator, max_words: int = 3) -> str:
                 w = w[:j] + w[j] + w[j:]
         else:
             w = str(rng.integers(0, 10 ** int(rng.integers(2, 7))))
+        if rng.random() < 0.10:
+            m = _PUNCT_MARKS[int(rng.integers(0, len(_PUNCT_MARKS)))]
+            # trailing mostly (the observed failure site), leading sometimes
+            w = (w + m) if rng.random() < 0.8 else (m + w)
         words.append(w)
     return " ".join(words)
 
