@@ -129,7 +129,10 @@ def _load_ragged(path: Path):
             for i in range(len(hs))
         ]
     else:  # legacy dense layout (safe only for near-uniform shapes)
-        imgs = [z["buf"][i, : hs[i], : ws[i]] for i in range(len(hs))]
+        buf = z["buf"]  # materialize ONCE: NpzFile.__getitem__ decompresses
+        # the whole array on EVERY access — indexing z["buf"][i] in the
+        # loop re-decompressed 3.6 GB per image (O(N * full decompress))
+        imgs = [buf[i, : hs[i], : ws[i]] for i in range(len(hs))]
     extras = {
         k: z[k] for k in z.files if k not in ("buf", "flat", "hs", "ws")
     }
