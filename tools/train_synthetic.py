@@ -488,7 +488,60 @@ def _cls_fit(model, tx, state, data, data_n, rng, steps, batch):
     acc = float((q.argmax(1) == lab).mean())
     gate = float((q[np.arange(len(lab)), lab] >= 0.9).mean())
     print(f"[cls] sym accuracy: {acc:.3f}  gate@0.9: {gate:.3f}")
-    save_params(OUT / "cls.npz", {"params": state.params, "batch_stats": state.batch_stats})
+
+    # ---- operating-point temperature calibration -------------------- #
+    # The pipeline acts on q >= 0.9 (cls_processor.rs:163-166): a crop
+    # whose symmetrized score lands at 0.80-0.89 is CORRECTLY labeled but
+    # never rotated.  Pick the temperature that maximizes (rotated crops
+    # passing the gate) + (upright crops not falsely rotated) on FRESH
+    # held-out renders, then fold 1/T into the final Dense so inference
+    # needs no code change.  T is chosen on the gate objective, not NLL —
+    # this is threshold calibration, not probability calibration.
+    held = _render_cls_lines(np.random.default_rng(rng.integers(1 << 31)), 1024)
+    hdata = ClsDeviceData.build(held, 192)
+    hidx = jnp.arange(len(held))
+    hx_up, _ = gather_cls_batch(hdata, hidx, jnp.zeros(len(held), jnp.int32))
+    hx_rot, _ = gather_cls_batch(hdata, hidx, jnp.ones(len(held), jnp.int32))
+    out = {}
+    for name, hx in (("up", hx_up), ("rot", hx_rot)):
+        a = np.asarray(jit_apply(variables, hx))
+        b = np.asarray(jit_apply(variables, hx[:, :, ::-1, ::-1]))
+        out[name] = (a, b)
+    eps = 1e-12
+
+    def gate_counts(T):
+        score = {}
+        for name, (a, b) in out.items():
+            la, lb = np.log(a + eps) / T, np.log(b + eps) / T
+            pa = np.exp(la - la.max(1, keepdims=True))
+            pa /= pa.sum(1, keepdims=True)
+            pb = np.exp(lb - lb.max(1, keepdims=True))
+            pb /= pb.sum(1, keepdims=True)
+            score[name] = 0.5 * (pa + pb[:, ::-1])
+        rot_pass = int(((score["rot"].argmax(1) == 1)
+                        & (score["rot"][:, 1] >= 0.9)).sum())
+        up_ok = int((~((score["up"].argmax(1) == 1)
+                       & (score["up"][:, 1] >= 0.9))).sum())
+        return rot_pass, up_ok
+
+    best_t, best_obj = 1.0, sum(gate_counts(1.0))
+    for T in (0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.25):
+        obj = sum(gate_counts(T))
+        if obj > best_obj:  # strict: prefer the least-distorting T on ties
+            best_t, best_obj = T, obj
+    r0, u0 = gate_counts(1.0)
+    r1, u1 = gate_counts(best_t)
+    n_h = len(held)
+    print(f"[cls] calibration: T=1.0 rot-gate {r0}/{n_h} up-ok {u0}/{n_h}"
+          f" -> T={best_t} rot-gate {r1}/{n_h} up-ok {u1}/{n_h}")
+    params = state.params
+    if best_t != 1.0:
+        head = dict(params["Dense_0"])
+        head["kernel"] = head["kernel"] / best_t
+        head["bias"] = head["bias"] / best_t
+        params = dict(params)
+        params["Dense_0"] = head
+    save_params(OUT / "cls.npz", {"params": params, "batch_stats": state.batch_stats})
     return acc
 
 
