@@ -111,9 +111,11 @@ def main() -> None:
     print(f"rec exact on 180-rotated input: {n_rot_text}/{n}")
     print(f"cls strict-label upright: {n_cls_up}/{n}  rot180@0.9: {n_cls_rot}/{n}")
     print(f"cls functional (upright not rotated): {n_up_norot}/{n}")
-    for t, g in fails[:10]:
+    # print EVERY miss: the residual failure modes are the deliverable
+    # (VERDICT r2 item 2), and they are few by construction at this bar
+    for t, g in fails:
         print(f"  MISS {t!r} -> {g!r}")
-    for kind, t, lb, sc in cls_fails[:10]:
+    for kind, t, lb, sc in cls_fails:
         print(f"  CLS-{kind} {t!r} -> label={lb} score={sc}")
 
 
