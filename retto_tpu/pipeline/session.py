@@ -135,17 +135,34 @@ class RettoSession:
         import jax.numpy as jnp
 
         from ..models import build_cls, build_det, build_rec
-        from ..weights import init_random_params, load_params
+        from ..weights import init_random_params, load_params_meta
 
         dtype = self.config.engine.compute_dtype
-        det_m = build_det(preset, compute_dtype=dtype)
-        cls_m = build_cls(preset, compute_dtype=dtype)
-        rec_m = build_rec(
-            preset, num_classes=self.chars.num_classes, compute_dtype=dtype
-        )
+        params: dict[str, Any] = {}
+        overrides: dict[str, dict[str, Any]] = {}
         if weights:
-            params = {k: load_params(v) for k, v in weights.items()}
-        else:
+            for k, v in weights.items():
+                params[k], meta = load_params_meta(v)
+                if meta:
+                    # checkpoint self-description wins over the named
+                    # preset's current defaults: architectures evolve,
+                    # saved weights don't (store.py::save_params meta).
+                    # JSON lists -> tuples: module fields must stay
+                    # hashable (presets use tuples for widths/dims)
+                    overrides[k] = {
+                        kk: tuple(vv) if isinstance(vv, list) else vv
+                        for kk, vv in meta.get("overrides", {}).items()
+                    }
+        ov = overrides.get
+        det_m = build_det(preset, compute_dtype=dtype, **ov("det", {}))
+        cls_m = build_cls(preset, compute_dtype=dtype, **ov("cls", {}))
+        rec_kw = dict(ov("rec", {}))
+        rec_kw.pop("num_classes", None)  # the charset governs the head
+        rec_m = build_rec(
+            preset, num_classes=self.chars.num_classes, compute_dtype=dtype,
+            **rec_kw,
+        )
+        if not weights:
             logger.warning(
                 "RettoSession: no weights given — using RANDOM weights "
                 "(pipeline will run but recognize nothing; pass weights= "

@@ -1,3 +1,13 @@
-from .store import init_random_params, load_params, save_params
+from .store import (
+    init_random_params,
+    load_params,
+    load_params_meta,
+    save_params,
+)
 
-__all__ = ["save_params", "load_params", "init_random_params"]
+__all__ = [
+    "save_params",
+    "load_params",
+    "load_params_meta",
+    "init_random_params",
+]

@@ -17,9 +17,15 @@ import numpy as np
 
 from ..errors import ModelNotFoundError, RettoWeightsError
 
-__all__ = ["save_params", "load_params", "init_random_params"]
+__all__ = [
+    "save_params",
+    "load_params",
+    "load_params_meta",
+    "init_random_params",
+]
 
 _SEP = "::"
+_META_KEY = "__meta__"
 
 
 def _flatten(tree: Mapping[str, Any], prefix: str = "") -> dict[str, np.ndarray]:
@@ -44,21 +50,53 @@ def _unflatten(flat: Mapping[str, np.ndarray]) -> dict[str, Any]:
     return tree
 
 
-def save_params(path: str | Path, variables: Mapping[str, Any]) -> None:
+def save_params(
+    path: str | Path,
+    variables: Mapping[str, Any],
+    meta: Mapping[str, Any] | None = None,
+) -> None:
     """Save a flax variables dict ({'params': ..., 'batch_stats': ...}) to
-    .npz with flat ``::``-joined keys."""
+    .npz with flat ``::``-joined keys.
+
+    ``meta`` (optional) is a JSON-serializable dict stored alongside the
+    arrays — the checkpoint's self-description.  The convention for model
+    checkpoints is ``{"preset": ..., "overrides": {<build_* kwargs>}}`` so
+    inference can reconstruct the exact architecture even after the named
+    preset's defaults change (the reference's analog is the ONNX file
+    carrying its own graph; a bare param pytree does not)."""
+    import json
+
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, **_flatten(variables))
+    flat = _flatten(variables)
+    if meta is not None:
+        flat[_META_KEY] = np.asarray(json.dumps(dict(meta)))
+    np.savez(path, **flat)
 
 
 def load_params(path: str | Path) -> dict[str, Any]:
+    return load_params_meta(path)[0]
+
+
+def load_params_meta(
+    path: str | Path,
+) -> tuple[dict[str, Any], dict[str, Any] | None]:
+    """Like load_params but also returns the checkpoint's self-description
+    (None for checkpoints written without one)."""
+    import json
+
     path = Path(path)
     if not path.exists():
         raise ModelNotFoundError(str(path))
     try:
         with np.load(path, allow_pickle=False) as z:
-            return _unflatten({k: z[k] for k in z.files})
+            meta = None
+            if _META_KEY in z.files:
+                meta = json.loads(str(z[_META_KEY][()]))
+            tree = _unflatten(
+                {k: z[k] for k in z.files if k != _META_KEY}
+            )
+            return tree, meta
     except (OSError, ValueError) as e:
         raise RettoWeightsError(f"failed to load weights from {path}: {e}") from e
 

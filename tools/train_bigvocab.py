@@ -183,7 +183,8 @@ def main() -> None:
         accn = np.mean([preds[j] == etexts[q] for j, q in enumerate(nar)])
         print(f"[big] exact match at w=320 on {len(nar)} narrow lines: {accn:.4f}")
     save_params(OUT / "rec_big.npz",
-                {"params": state.params, "batch_stats": state.batch_stats})
+                {"params": state.params, "batch_stats": state.batch_stats},
+                meta={"preset": "mobile", "overrides": {}})
     (OUT / "charset_big.txt").write_text(
         "\n".join(chars.chars[1:-1]), encoding="utf-8"
     )

@@ -308,7 +308,8 @@ def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0,
     print("[rec] samples:", list(zip(preds[:5], eval_texts[:5])))
     # save FIRST: the spot check below must not be able to cost a finished
     # training run its checkpoint
-    save_params(OUT / "rec.npz", {"params": best, "batch_stats": state.batch_stats})
+    save_params(OUT / "rec.npz", {"params": best, "batch_stats": state.batch_stats},
+                meta={"preset": "mobile", "overrides": {}})
     (OUT / "charset.txt").write_text("\n".join(CHARS.chars[1:-1]), encoding="utf-8")
 
     # narrow-width spot check (the multi-width pad-robustness target):
@@ -541,7 +542,8 @@ def _cls_fit(model, tx, state, data, data_n, rng, steps, batch):
         head["bias"] = head["bias"] / best_t
         params = dict(params)
         params["Dense_0"] = head
-    save_params(OUT / "cls.npz", {"params": params, "batch_stats": state.batch_stats})
+    save_params(OUT / "cls.npz", {"params": params, "batch_stats": state.batch_stats},
+                meta={"preset": "mobile", "overrides": {}})
     return acc
 
 
@@ -723,7 +725,8 @@ def train_det(steps=6000, batch=8, lr=8e-4, data_n=640, seed=2):
         if i % 100 == 0 or i == steps - 1:
             print(f"[det] step {i}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
 
-    save_params(OUT / "det.npz", {"params": state.params, "batch_stats": state.batch_stats})
+    save_params(OUT / "det.npz", {"params": state.params, "batch_stats": state.batch_stats},
+                meta={"preset": "mobile", "overrides": {}})
     # quick qualitative eval: mean prob inside/outside text on a fresh page
     img, bx, _ = render_page(rng, CHARS, DET_S, DET_S, lh_range=(24, 60))
     x = ((img[..., ::-1].astype(np.float32) / 255.0) - 0.5) / 0.5
