@@ -32,7 +32,11 @@ class LimitType(str, enum.Enum):
 
 class ScoreMode(str, enum.Enum):
     """DB detection result scoring method (det_processor.rs:20-29).
-    The reference only implements FAST (Slow is declared, never used)."""
+    The reference only implements FAST (Slow is declared, never used);
+    here SLOW is implemented with PaddleOCR's semantics — mean probability
+    over the ORIGINAL contour polygon instead of its min-area rect
+    (ops/raster.py::box_score_slow).  SLOW runs on the host NumPy path;
+    the C++ pass and the device pipeline's pooled scoring are FAST."""
 
     FAST = "fast"
     SLOW = "slow"

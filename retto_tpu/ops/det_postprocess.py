@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import DetConfig
+from ..config import DetConfig, ScoreMode
 from ..geometry import (
     min_area_rect,
     scale_and_clip,
@@ -27,7 +27,7 @@ from ..geometry import (
     unclip,
 )
 from .contours import find_contour_point_sets
-from .raster import box_score_fast
+from .raster import box_score_fast, box_score_slow
 
 __all__ = ["det_postprocess", "det_candidates", "det_finalize"]
 
@@ -126,7 +126,12 @@ def det_postprocess(
     is available (retto_tpu.native — the slot the reference fills with
     clipper-sys C++), "numpy" forces the Python path, "native" requires C++.
     """
-    if backend != "numpy":
+    # SLOW scores over the original contour polygon (PaddleOCR semantics
+    # for the mode the reference declares but never implements,
+    # det_processor.rs:20-29) — host-path only: the C++ pass and the
+    # device pipeline's pooled scoring implement FAST
+    slow = cfg.score_mode == ScoreMode.SLOW
+    if backend != "numpy" and not slow:
         from ..native import det_postprocess_native
 
         out = det_postprocess_native(
@@ -151,7 +156,9 @@ def det_postprocess(
         sside = min(side1, side2)
         if sside < cfg.min_mini_box_size:
             continue
-        score = box_score_fast(pred, box)
+        score = (
+            box_score_slow(pred, contour) if slow else box_score_fast(pred, box)
+        )
         if score < cfg.box_thresh:
             continue
         expanded = unclip(box, cfg.unclip_ratio)

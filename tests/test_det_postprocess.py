@@ -150,3 +150,45 @@ class TestDeviceBinarize:
         pred = np.zeros((1, 1, 8, 8), dtype=np.float32)
         m = np.asarray(binarize_dilate(jnp.asarray(pred), 0.3, True))
         assert m.shape == (8, 8)
+
+
+class TestScoreModeSlow:
+    """ScoreMode::Slow — declared-but-unimplemented in the reference
+    (det_processor.rs:20-29); here it scores over the original contour
+    polygon (PaddleOCR box_score_slow semantics)."""
+
+    def test_fill_polygon_concave(self):
+        from retto_tpu.ops.raster import fill_polygon
+
+        # L-shape: the notch must stay outside
+        poly = np.array([[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10]], float)
+        m = fill_polygon(poly, 11, 11)
+        assert m[2, 2] and m[2, 8] and m[8, 2]
+        assert not m[8, 8]
+
+    def test_slow_ignores_notch_fast_includes_it(self):
+        from retto_tpu.geometry import min_area_rect
+        from retto_tpu.ops.raster import box_score_slow
+
+        poly = np.array([[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10]], float)
+        pred = np.ones((12, 12), np.float32)
+        pred[5:11, 5:11] = 0.0  # zero probability inside the notch
+        quad, _ = min_area_rect(poly)
+        assert box_score_slow(pred, poly) > box_score_fast(pred, quad)
+
+    def test_det_postprocess_slow_mode(self):
+        from retto_tpu.config import ScoreMode
+
+        pred = np.zeros((64, 64), np.float32)
+        pred[10:20, 8:40] = 0.95
+        mask = pred > 0.3
+        cfg = DetConfig(score_mode=ScoreMode.SLOW)
+        boxes, scores = det_postprocess(pred, mask, cfg, 64, 64)
+        assert len(boxes) == 1
+        assert scores[0] > 0.9
+        # FAST on the same rectangle agrees (convex region: same pixels)
+        boxes_f, scores_f = det_postprocess(
+            pred, mask, DetConfig(), 64, 64, backend="numpy"
+        )
+        assert np.allclose(boxes, boxes_f)
+        assert abs(float(scores[0]) - float(scores_f[0])) < 0.05
