@@ -131,6 +131,11 @@ def det_postprocess(
     # det_processor.rs:20-29) — host-path only: the C++ pass and the
     # device pipeline's pooled scoring implement FAST
     slow = cfg.score_mode == ScoreMode.SLOW
+    if slow and backend == "native":
+        raise RuntimeError(
+            "ScoreMode.SLOW is host-path only (the C++ pass scores FAST); "
+            "use backend='auto' or 'numpy'"
+        )
     if backend != "numpy" and not slow:
         from ..native import det_postprocess_native
 

@@ -192,3 +192,12 @@ class TestScoreModeSlow:
         )
         assert np.allclose(boxes, boxes_f)
         assert abs(float(scores[0]) - float(scores_f[0])) < 0.05
+
+    def test_slow_with_native_backend_raises(self):
+        from retto_tpu.config import ScoreMode
+
+        pred = np.zeros((16, 16), np.float32)
+        with pytest.raises(RuntimeError, match="host-path only"):
+            det_postprocess(pred, pred > 0.3,
+                            DetConfig(score_mode=ScoreMode.SLOW),
+                            16, 16, backend="native")
