@@ -70,7 +70,10 @@ def save_state(st: dict) -> None:
     STATE.write_text(json.dumps(st))
 
 
-def tunnel_alive(timeout: float = 75.0) -> bool:
+def tunnel_alive(timeout: float = 150.0) -> bool:
+    # generous timeout: the probe subprocess pays a jax import (~30-60 s
+    # when the single host core is contended by render/test jobs), and a
+    # starved probe must not misread a live tunnel as down
     try:
         r = subprocess.run(
             [sys.executable, "-c", PROBE_SRC],
