@@ -204,7 +204,7 @@ def prepare_rec_data(data_n, seed, data_cache: "Path | None",
 
 
 def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0,
-              data_cache: "Path | None" = None):
+              data_cache: "Path | None" = None, warm_start: bool = False):
     rng = np.random.default_rng(seed + 1009)
     imgs, labels, lengths = prepare_rec_data(data_n, seed, data_cache)
     data_n = len(imgs)
@@ -216,6 +216,18 @@ def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0,
     tx = optax.adamw(sched, weight_decay=1e-4)
     x0, _, _ = gather_rec_batch(data, jnp.arange(batch))
     state = init_train_state(model, tx, np.zeros((2, 3, REC_H, REC_W), np.float32))
+    if warm_start and (OUT / "rec.npz").exists():
+        # fine-tune from the current checkpoint (CPU-fallback path while
+        # the TPU tunnel is down; also fast targeted iteration on TPU) —
+        # use a reduced lr when fine-tuning (caller's choice)
+        from retto_tpu.weights import load_params
+
+        v = load_params(OUT / "rec.npz")
+        state = TrainState(
+            jax.device_put(v["params"]), state.opt_state,
+            jax.device_put(v["batch_stats"]), state.step,
+        )
+        print("[rec] warm start from trained_weights/rec.npz", flush=True)
 
     def apply_logits(variables, x, train=False, mutable=None):
         kw = dict(train=train, return_logits=True)
@@ -355,7 +367,7 @@ def prepare_cls_data(data_n, seed, data_cache: "Path | None",
 
 
 def train_cls(steps=9000, batch=128, lr=1e-3, data_n=24576, seed=1,
-              data_cache: "Path | None" = None):
+              data_cache: "Path | None" = None, warm_start: bool = False):
     rng = np.random.default_rng(seed + 1009)
     imgs = prepare_cls_data(data_n, seed, data_cache)
     imgs = [imgs[i] for i in rng.permutation(len(imgs))]
@@ -371,6 +383,15 @@ def train_cls(steps=9000, batch=128, lr=1e-3, data_n=24576, seed=1,
         weight_decay=1e-4,
     )
     state = init_train_state(model, tx, np.zeros((2, 3, 48, 192), np.float32))
+    if warm_start and (OUT / "cls.npz").exists():
+        from retto_tpu.weights import load_params
+
+        v = load_params(OUT / "cls.npz")
+        state = TrainState(
+            jax.device_put(v["params"]), state.opt_state,
+            jax.device_put(v["batch_stats"]), state.step,
+        )
+        print("[cls] warm start from trained_weights/cls.npz", flush=True)
     return _cls_fit(model, tx, state, data, data_n, rng, steps, batch)
 
 
@@ -754,6 +775,15 @@ def main():
                          "rec_pipe/cls_lines/cls_pipe.npz). 'render' "
                          "populates it host-side; rec/cls read it. Delete "
                          "it when the synth curriculum changes.")
+    ap.add_argument("--warm-start", action="store_true",
+                    help="initialize rec/cls from the existing "
+                         "trained_weights checkpoints (fine-tune) instead "
+                         "of fresh init")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the learning rate (use a reduced lr "
+                         "with --warm-start)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the batch size (smaller for CPU runs)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin jax to CPU (the harness sitecustomize pins "
                          "the axon TPU platform programmatically; use this "
@@ -772,14 +802,19 @@ def main():
         prepare_cls_data(int(24576 * s), 1, args.data_cache,
                          pipe_pages=int(CLS_PIPE_PAGES * s))
         return
+    extra = {"warm_start": args.warm_start}
+    if args.lr is not None:
+        extra["lr"] = args.lr
+    if args.batch is not None:
+        extra["batch"] = args.batch
     if args.target in ("rec", "all"):
         # 24k steps / 49k fresh lines: the n=512 residual misses are tail
         # modes (case pairs, y/v, m/n) that need more fresh-sample exposure;
         # device time is ~3 min, host render time dominates
         train_rec(steps=int(24000 * s), data_n=int(49152 * s),
-                  data_cache=args.data_cache)
+                  data_cache=args.data_cache, **extra)
     if args.target in ("cls", "all"):
-        train_cls(steps=int(18000 * s), data_cache=args.data_cache)
+        train_cls(steps=int(18000 * s), data_cache=args.data_cache, **extra)
     if args.target in ("det", "all"):
         train_det(steps=int(6000 * s))
 
