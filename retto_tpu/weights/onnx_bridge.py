@@ -91,6 +91,17 @@ def _mul(a, x, y):
 
 @op("Div")
 def _div(a, x, y):
+    # ONNX Div on integer tensors is C-style integer division (truncation
+    # toward zero).  torch exports chunk/split sizing as constant-folded
+    # Shape -> Add -> Div -> Mul chains feeding Slice bounds; true division
+    # here yields fractional bounds that corrupt the slices downstream.
+    def _dt(v):
+        return np.asarray(v).dtype if _static(v) else v.dtype
+
+    if np.issubdtype(_dt(x), np.integer) and np.issubdtype(_dt(y), np.integer):
+        lib = np if (_static(x) and _static(y)) else jnp
+        q = lib.abs(x) // lib.abs(y)
+        return lib.where((x < 0) != (y < 0), -q, q)
     return x / y
 
 
