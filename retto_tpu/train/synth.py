@@ -20,7 +20,9 @@ from ..ops.charset import CharacterDict
 
 __all__ = [
     "default_font",
+    "cls_text",
     "confusion_text",
+    "il_contrast_word",
     "natural_text",
     "render_line",
     "render_page",
@@ -141,7 +143,27 @@ _MN_WORDS = (
 # trailing/leading punctuation: the model must know what a REAL backtick /
 # quote / period looks like so a glyph-edge artifact at the content
 # boundary stops reading as one ('TEXT' -> 'TEXT`' eval miss)
-_PUNCT_MARKS = list("`'\".,!?:;")
+_PUNCT_MARKS = list("`'\".,!?:;_-")
+# I/l minimal pairs: in DejaVu Sans both glyphs are plain vertical stems —
+# the only cues are stem height (l reaches the ascender line, I stops at
+# cap height) and width.  The n=512 eval residue ('Its right'->'lts right',
+# 'Tell'->'TelI') hinges on exactly this contrast, so render BOTH variants
+# of the same word (true-I and swapped-l and vice versa), labeled exactly
+# as drawn, to force the model onto the height cue.
+_IL_WORDS = (
+    "Its It Is If In Ice Item I Ill tell Tell well will all call still "
+    "bell fell hall full ball let like line life live look last left"
+).split()
+
+
+def il_contrast_word(rng: np.random.Generator) -> str:
+    w = _IL_WORDS[int(rng.integers(0, len(_IL_WORDS)))]
+    pos = [j for j, c in enumerate(w) if c in "Il"]
+    if pos and rng.random() < 0.5:
+        j = pos[int(rng.integers(0, len(pos)))]
+        sub = "l" if w[j] == "I" else "I"
+        w = w[:j] + sub + w[j + 1:]
+    return w
 
 
 def confusion_text(rng: np.random.Generator, max_words: int = 3) -> str:
@@ -152,13 +174,15 @@ def confusion_text(rng: np.random.Generator, max_words: int = 3) -> str:
     words = []
     for _ in range(int(rng.integers(1, max_words + 1))):
         r = rng.random()
-        if r < 0.10:
+        if r < 0.08:
             w = _MN_WORDS[int(rng.integers(0, len(_MN_WORDS)))]
             rr = rng.random()
             if rr < 0.15:
                 w = w.capitalize()
             elif rr < 0.25:
                 w = w.upper()
+        elif r < 0.16:
+            w = il_contrast_word(rng)
         elif r < 0.45:
             s = _CONFUSABLE_SETS[int(rng.integers(0, len(_CONFUSABLE_SETS)))]
             k = int(rng.integers(2, 7))
@@ -199,6 +223,38 @@ def confusion_text(rng: np.random.Generator, max_words: int = 3) -> str:
             w = (w + m) if rng.random() < 0.8 else (m + w)
         words.append(w)
     return " ".join(words)
+
+
+def cls_text(rng: np.random.Generator) -> str:
+    """Text for orientation-cls training, weighted toward the n=512 eval's
+    residual miss modes: SINGLE short words (the probe's weakest category,
+    worst ALL-CAPS — rotated 'PUT'/'DID' read confidently upright) and
+    digit runs whose 180-degree render is itself a plausible string
+    ('1061' vs '1901': DejaVu's 6/9 are near-exact rotations of each
+    other and 0/8 are symmetric, so the only surviving cue is the flag
+    and base of '1' — needs heavy exposure to learn under blur)."""
+    r = rng.random()
+    if r < 0.22:
+        k = int(rng.integers(2, 7))
+        # '1'/'6'/'9'-heavy digit runs: oversample the cue-carrying glyphs
+        return "".join(rng.choice(list("0123456789116699"), size=k))
+    if r < 0.50:
+        w = _NATURAL_WORDS[int(rng.integers(0, len(_NATURAL_WORDS)))]
+        rr = rng.random()
+        if rr < 0.45:
+            return w.upper()
+        if rr < 0.70:
+            return w.capitalize()
+        return w
+    if r < 0.62:
+        ws = []
+        for _ in range(2):
+            w = _NATURAL_WORDS[int(rng.integers(0, len(_NATURAL_WORDS)))]
+            rr = rng.random()
+            ws.append(w.upper() if rr < 0.35
+                      else w.capitalize() if rr < 0.60 else w)
+        return " ".join(ws)
+    return natural_text(rng)
 
 
 def natural_text(

@@ -42,6 +42,7 @@ from retto_tpu.train.data import (
 from retto_tpu.train.losses import ctc_loss, db_loss
 from retto_tpu.image.io import _pil_resize
 from retto_tpu.train.synth import (
+    cls_text,
     confusion_text,
     default_font,
     natural_text,
@@ -338,7 +339,7 @@ def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0,
     return float(acc)
 
 
-CLS_PIPE_PAGES = 1600
+CLS_PIPE_PAGES = 2400
 
 
 def prepare_cls_data(data_n, seed, data_cache: "Path | None",
@@ -399,28 +400,11 @@ def _render_cls_lines(rng, data_n):
     imgs = []
     for _ in range(data_n):
         fg, bg = ((255, 255, 255), (0, 0, 0)) if rng.random() < 0.3 else ((0, 0, 0), (255, 255, 255))
-        # oversample near-rotation-symmetric content (digit runs, short
-        # lowercase words): 180-degree discrimination there hinges on
-        # font micro-cues ('6' vs '9' stroke terminals, '1's flag) that
-        # the model only learns with enough exposure (eval failure modes:
-        # '1061', '6899', 'open')
-        r = rng.random()
-        if r < 0.20:
-            text = str(rng.integers(0, 10**int(rng.integers(2, 7))))
-        elif r < 0.30:
-            text = natural_text(rng, max_words=1, digits_prob=0.0).lower()
-        elif r < 0.42:
-            # uppercase / mixed-case words: the n=512 eval's residual
-            # inverted-canonical flips are all-caps and TitleCase content
-            # ('WELL', 'DID You', 'Dog' rot) — letterforms like W/M, D/Q
-            # need their own 180-degree exposure
-            words = []
-            for _ in range(int(rng.integers(1, 3))):
-                w = natural_text(rng, max_words=1, digits_prob=0.15)
-                words.append(w.upper() if rng.random() < 0.5 else w.capitalize())
-            text = " ".join(words)
-        else:
-            text = natural_text(rng)
+        # cls_text: the probe-informed mixture — digit runs ('1'/'6'/'9'
+        # heavy), SINGLE short words with ALL-CAPS emphasis (the weakest
+        # probe category: rotated 'PUT'/'DID' read confidently upright),
+        # two-word mixed-case, natural tail (synth.py:cls_text)
+        text = cls_text(rng)
         img = render_line(
             text, int(rng.integers(32, 49)),
             font=default_font(int(rng.integers(24, 44)), _fonts_cycle(rng)),
@@ -592,15 +576,19 @@ def render_cls_pipeline_dataset(rng, n_pages=1600):
 
     crops = []
     # page sizes from a small fixed set: each maps to one det bucket
-    # shape so the jit cache warms after a handful of pages
-    _sizes = [(256, 320), (384, 512), (512, 448), (640, 704), (288, 704)]
+    # shape so the jit cache warms after a handful of pages.  The two
+    # small-min-side pages match the n=512 eval's 640x200 render regime
+    # (min-side-736 rule -> 3.5-3.8x det upscale blur) — cls misses
+    # concentrated there because that blur regime was unseen
+    _sizes = [(256, 320), (384, 512), (512, 448), (640, 704), (288, 704),
+              (192, 640), (208, 512)]
     for i in range(n_pages):
         size_h, size_w = _sizes[int(rng.integers(0, len(_sizes)))]
         lh_lo = int(rng.integers(18, 40))
         img, _, _ = render_page(
             rng, CHARS, size_h, size_w, max_lines=5,
             lh_range=(lh_lo, min(lh_lo + 60, 110)),
-            text_fn=natural_text,
+            text_fn=cls_text,
         )
         ih = ImageHelper(img)
         ih.resize_both(cfg.max_side_len, cfg.min_side_len)
@@ -784,6 +772,10 @@ def main():
                          "with --warm-start)")
     ap.add_argument("--batch", type=int, default=None,
                     help="override the batch size (smaller for CPU runs)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override the step count WITHOUT scaling the "
+                         "dataset size (unlike --steps-scale, which keys "
+                         "the render caches) — for warm-start fine-tunes")
     ap.add_argument("--cpu", action="store_true",
                     help="pin jax to CPU (the harness sitecustomize pins "
                          "the axon TPU platform programmatically; use this "
@@ -811,10 +803,11 @@ def main():
         # 24k steps / 49k fresh lines: the n=512 residual misses are tail
         # modes (case pairs, y/v, m/n) that need more fresh-sample exposure;
         # device time is ~3 min, host render time dominates
-        train_rec(steps=int(24000 * s), data_n=int(49152 * s),
+        train_rec(steps=args.steps or int(24000 * s), data_n=int(49152 * s),
                   data_cache=args.data_cache, **extra)
     if args.target in ("cls", "all"):
-        train_cls(steps=int(18000 * s), data_cache=args.data_cache, **extra)
+        train_cls(steps=args.steps or int(18000 * s),
+                  data_cache=args.data_cache, **extra)
     if args.target in ("det", "all"):
         train_det(steps=int(6000 * s))
 
