@@ -66,6 +66,9 @@ def main() -> None:
     ap.add_argument("--w", type=int, default=768)
     ap.add_argument("--variants", action="store_true",
                     help="also time backbone variants")
+    ap.add_argument("--submodules", action="store_true",
+                    help="time backbone/FPN/head separately + width/batch "
+                         "experiments (MFU-gap localization)")
     args = ap.parse_args()
     b, h, w = args.batch, args.h, args.w
 
@@ -126,6 +129,73 @@ def main() -> None:
     dt = timeit(f"det_fwd gray fused (resize+fwd+pack+pool, batch {b})",
                 det_fwd)
     print(f"  -> {dt/b*1e3:.2f} ms/img")
+
+    if args.submodules:
+        _submodules(det, b, h, w)
+
+
+def _submodules(det, b, h, w) -> None:
+    """Localize the MFU gap: time backbone / FPN / head separately, a
+    doubled-width variant (same time => bandwidth-bound, 2x time =>
+    MXU-bound), and batch 16."""
+    from flax import linen as _nn
+
+    from retto_tpu.models.dbnet import DBFPN, DBHead, DetModel, TpuBackbone
+    from retto_tpu.utils.flops import cost_of
+
+    rng = np.random.default_rng(0)
+    xh = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32))
+
+    bb = TpuBackbone(widths=tuple(det.widths), depths=tuple(det.depths),
+                     dtype=jnp.bfloat16)
+    pb = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    f_bb = jax.jit(lambda p, x: bb.apply(p, x))
+    c = cost_of(f_bb, pb, xh)
+    timeit(f"backbone only (batch {b})", lambda: f_bb(pb, xh),
+           flops=c["flops"])
+
+    feats = jax.jit(lambda p, x: bb.apply(p, x))(pb, xh)
+    fpn = DBFPN(det.inner_ch, det.inner_ch // 4, dtype=jnp.bfloat16)
+    pf = fpn.init(jax.random.PRNGKey(0),
+                  [jnp.zeros((1, 32 >> i, 32 >> i, c_.shape[-1]))
+                   for i, c_ in enumerate(feats)])
+    f_fpn = jax.jit(lambda p, fs: fpn.apply(p, fs))
+    c = cost_of(f_fpn, pf, list(feats))
+    timeit("fpn only", lambda: f_fpn(pf, list(feats)), flops=c["flops"])
+
+    fused = jax.jit(lambda p, fs: fpn.apply(p, fs))(pf, list(feats))
+    head = DBHead(det.head_ch, det.out_stride, dtype=jnp.bfloat16)
+    ph = head.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, fused.shape[-1])))
+    f_h = jax.jit(lambda p, x: head.apply(p, x))
+    c = cost_of(f_h, ph, fused)
+    timeit("head only (incl. bilinear logit upsample)", lambda: f_h(ph, fused),
+           flops=c["flops"])
+
+    # NHWC bf16 straight in (no NCHW boundary, no f32 input read)
+    xbf = xh.astype(jnp.bfloat16)
+    c = cost_of(f_bb, pb, xbf)
+    timeit(f"backbone, bf16 NHWC input (batch {b})", lambda: f_bb(pb, xbf),
+           flops=c["flops"])
+
+    # doubled widths: 4x FLOPs — if time ~2x, we're MXU-bound; ~1x, bandwidth
+    bb2 = TpuBackbone(widths=tuple(int(2 * v) for v in det.widths),
+                      depths=tuple(det.depths), dtype=jnp.bfloat16)
+    pb2 = bb2.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    f_bb2 = jax.jit(lambda p, x: bb2.apply(p, x))
+    c = cost_of(f_bb2, pb2, xh)
+    timeit(f"backbone 2x widths (batch {b})", lambda: f_bb2(pb2, xh),
+           flops=c["flops"])
+
+    # batch 16 full model
+    x16 = jnp.asarray(rng.uniform(-1, 1, (16, 3, h, w)).astype(np.float32))
+    from retto_tpu.weights import init_random_params
+
+    params = init_random_params(det, jnp.zeros((1, 3, 64, 64)))
+    fn = jax.jit(lambda p, x: det.apply(p, x, raw=True))
+    c = cost_of(fn, params, x16)
+    dt = timeit("full det raw, batch 16", lambda: fn(params, x16),
+                flops=c["flops"])
+    print(f"  -> {dt/16*1e3:.2f} ms/img")
 
 
 if __name__ == "__main__":
