@@ -23,6 +23,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# persistent remote-compile cache: the pipeline-crop extraction compiles
+# one det graph per page shape; without this every trainer PROCESS pays
+# those remote compiles again (rec, then cls, then eval)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
