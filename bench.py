@@ -302,12 +302,18 @@ def bench_server_smoke() -> dict:
     }
 
 
-def _probe_backend(timeout_s: float = 180.0) -> "str | None":
+def _probe_backend(timeout_s: float = 420.0) -> "str | None":
     """Liveness probe: the tunneled TPU backend can hang indefinitely
     (CLAUDE.md; observed multi-hour outages where jax.devices() never
     returns).  Run a scalar round trip in a daemon thread; on timeout,
     return an error string so main() can emit an explicit-error JSON line
-    instead of hanging the driver."""
+    instead of hanging the driver.
+
+    The budget must dominate per-process backend INIT, not just the wire
+    round trip: first contact has been observed at 30-105 s under
+    contention with a healthy tunnel (a 180 s window produced a false
+    "tunnel down" capture).  420 s keeps a true outage bounded for the
+    driver while making slow-init false negatives unlikely."""
     import threading
 
     err: list = [f"TPU backend unreachable: no scalar round trip within {timeout_s:.0f}s (tunnel down)"]
