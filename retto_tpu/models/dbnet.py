@@ -191,8 +191,10 @@ class DetModel(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False, raw: bool = False):
-        x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC
+    def __call__(self, x: jax.Array, train: bool = False, raw: bool = False,
+                 nhwc: bool = False):
+        if not nhwc:
+            x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC
         if self.dtype is not None:
             x = x.astype(self.dtype)
         if self.backbone == "tpu":

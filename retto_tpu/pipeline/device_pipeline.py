@@ -115,7 +115,13 @@ def _bilinear_matrix(
 
 
 def _resize2(wh, ww, img):
-    """img [B, H, W, C] resampled to [B, dh, dw, C] via two matmuls."""
+    """img [B, H, W, C] resampled to [B, dh, dw, C] via two matmuls.
+    The resample matrices follow the image's dtype: with a bf16 compute
+    path the MXU still accumulates in f32, and the ~0.4% weight rounding
+    is under one u8 LSB on pixel data (PERFORMANCE-mode det input only —
+    crop warps for cls/rec keep their own f32 path)."""
+    wh = wh.astype(img.dtype)
+    ww = ww.astype(img.dtype)
     t = jnp.einsum("bdh,bhwc->bdwc", wh, img)
     return jnp.einsum("bew,bdwc->bdec", ww, t)
 
@@ -321,6 +327,16 @@ class DevicePipeline:
         # modules (ONNX-bridge dets) emit at full resolution
         det_stride = int(getattr(det_model, "out_stride", 1) or 1)
         self._det_stride = det_stride
+        # det input path runs in the model's compute dtype (bf16 for the
+        # native presets): the resize matmuls + BGR normalize + NHWC feed
+        # then move half the bytes and skip the NCHW round trip entirely
+        # (the model would transpose straight back).  Foreign modules
+        # (ONNX-bridge dets) keep the f32 NCHW engine contract.
+        from ..models.dbnet import DetModel as _NativeDet
+
+        det_nhwc = isinstance(det_model, _NativeDet)
+        det_dtype = (getattr(det_model, "dtype", None) or jnp.float32
+                     ) if det_nhwc else jnp.float32
 
         def det_fwd(params, planes, valid_src, valid_det, dh, dw, fmt):
             """planes by ``fmt``: "rgb" (rgb_u8 [B,Hp,Wp,3]), "yuv420"
@@ -346,8 +362,8 @@ class DevicePipeline:
                                        replicate_out=True)
                 ww2 = _bilinear_matrix(vs[:, 1] / 2, vd[:, 1], wp // 2, dw,
                                        replicate_out=True)
-                ydet = _resize2(wh, ww, y.astype(jnp.float32)[..., None])[..., 0]
-                uvdet = _resize2(wh2, ww2, uv.astype(jnp.float32))
+                ydet = _resize2(wh, ww, y.astype(det_dtype)[..., None])[..., 0]
+                uvdet = _resize2(wh2, ww2, uv.astype(det_dtype))
                 rgb_det = yuv_planes_to_rgb(ydet, uvdet[..., 0], uvdet[..., 1])
                 rgb_full = yuv420_to_rgb_device(y, uv)
                 rgb_u8 = jnp.clip(jnp.rint(rgb_full), 0, 255).astype(jnp.uint8)
@@ -358,7 +374,7 @@ class DevicePipeline:
                                       replicate_out=True)
                 ww = _bilinear_matrix(vs[:, 1], vd[:, 1], wp, dw,
                                       replicate_out=True)
-                ydet = _resize2(wh, ww, y.astype(jnp.float32)[..., None])
+                ydet = _resize2(wh, ww, y.astype(det_dtype)[..., None])
                 rgb_det = jnp.broadcast_to(ydet, (*ydet.shape[:-1], 3))
                 rgb_u8 = y[..., None]  # crops stay single-channel
             else:
@@ -368,24 +384,30 @@ class DevicePipeline:
                                       replicate_out=True)
                 ww = _bilinear_matrix(vs[:, 1], vd[:, 1], wp, dw,
                                       replicate_out=True)
-                rgb_det = _resize2(wh, ww, rgb.astype(jnp.float32))
+                rgb_det = _resize2(wh, ww, rgb.astype(det_dtype))
                 rgb_u8 = rgb
             x = rgb_det[..., ::-1]  # BGR (det_processor.rs:268)
-            mean = jnp.asarray(det_cfg.mean, jnp.float32)
-            std = jnp.asarray(det_cfg.std, jnp.float32)
-            x = (x * det_cfg.scale - mean) / std
+            mean = jnp.asarray(det_cfg.mean, det_dtype)
+            std = jnp.asarray(det_cfg.std, det_dtype)
+            x = (x * jnp.asarray(det_cfg.scale, det_dtype) - mean) / std
             # bucket padding carries EDGE-REPLICATED content (the resize
             # matrices extend the border pixel, and the upload planes are
             # themselves edge-padded) — a constant fill here would paint a
             # synthetic image->pad transition the det model fires on
             # (corner false positives); the host postprocess only reads the
             # per-image valid extents, so replicated pad content is inert
-            x_nchw = jnp.transpose(x, (0, 3, 1, 2))
-            if det_stride > 1:
-                # raw stride-s map straight from the head (models/dbnet.py)
-                pred = det_model.apply(params, x_nchw, raw=True)
+            if det_nhwc:
+                # NHWC straight in: DetModel(nhwc=True) skips its own
+                # NCHW->NHWC entry transpose, so neither layout pass runs
+                kw = {"raw": True} if det_stride > 1 else {}
+                pred = det_model.apply(params, x, nhwc=True, **kw)
             else:
-                pred = det_model.apply(params, x_nchw)
+                x_nchw = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
+                if det_stride > 1:
+                    # raw stride-s map straight from the head (models/dbnet.py)
+                    pred = det_model.apply(params, x_nchw, raw=True)
+                else:
+                    pred = det_model.apply(params, x_nchw)
             mh, mw = dh // det_stride, dw // det_stride
             dilate = det_cfg.use_dilation and det_cfg.dilation_kernel is not None
             if use_pallas and mh % 64 == 0 and mw % 128 == 0:
