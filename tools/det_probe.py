@@ -146,6 +146,18 @@ def _submodules(det, b, h, w) -> None:
     rng = np.random.default_rng(0)
     xh = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32))
 
+    # batch 16 full model FIRST: the highest-leverage number — under
+    # remote-compile queue load later submodule compiles may never run
+    x16 = jnp.asarray(rng.uniform(-1, 1, (16, 3, h, w)).astype(np.float32))
+    from retto_tpu.weights import init_random_params
+
+    params = init_random_params(det, jnp.zeros((1, 3, 64, 64)))
+    fn = jax.jit(lambda p, x: det.apply(p, x, raw=True))
+    c = cost_of(fn, params, x16)
+    dt = timeit("full det raw, batch 16", lambda: fn(params, x16),
+                flops=c["flops"])
+    print(f"  -> {dt/16*1e3:.2f} ms/img")
+
     bb = TpuBackbone(widths=tuple(det.widths), depths=tuple(det.depths),
                      dtype=jnp.bfloat16)
     pb = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
@@ -186,16 +198,6 @@ def _submodules(det, b, h, w) -> None:
     timeit(f"backbone 2x widths (batch {b})", lambda: f_bb2(pb2, xh),
            flops=c["flops"])
 
-    # batch 16 full model
-    x16 = jnp.asarray(rng.uniform(-1, 1, (16, 3, h, w)).astype(np.float32))
-    from retto_tpu.weights import init_random_params
-
-    params = init_random_params(det, jnp.zeros((1, 3, 64, 64)))
-    fn = jax.jit(lambda p, x: det.apply(p, x, raw=True))
-    c = cost_of(fn, params, x16)
-    dt = timeit("full det raw, batch 16", lambda: fn(params, x16),
-                flops=c["flops"])
-    print(f"  -> {dt/16*1e3:.2f} ms/img")
 
 
 if __name__ == "__main__":
