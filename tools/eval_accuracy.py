@@ -104,6 +104,12 @@ def main() -> None:
         got_r = res_r.rec_result[0].text if res_r.rec_result.texts else ""
         if got_r == text:
             n_rot_text += 1
+        # running tally: remote compiles can starve a full run past any
+        # sane timeout — partial runs must still yield signal
+        if (i + 1) % 64 == 0:
+            print(f"[{i + 1}/{n}] rec {n_exact}/{i + 1} "
+                  f"rot-rec {n_rot_text}/{i + 1} cls-rot {n_cls_rot}/{i + 1}",
+                  flush=True)
     print(f"n={n}")
     print(f"det exactly-1-box: {n_det1}/{n}")
     print(f"box BR within 10px: {n_box}/{n}")
