@@ -119,9 +119,13 @@ def _resize2(wh, ww, img):
     The resample matrices follow the image's dtype: with a bf16 compute
     path the MXU still accumulates in f32, and the ~0.4% weight rounding
     is under one u8 LSB on pixel data (PERFORMANCE-mode det input only —
-    crop warps for cls/rec keep their own f32 path)."""
-    wh = wh.astype(img.dtype)
-    ww = ww.astype(img.dtype)
+    crop warps for cls/rec keep their own f32 path).  Integer images would
+    truncate the fractional weights to zero, so the common dtype is at
+    least bf16."""
+    dt = jnp.promote_types(img.dtype, jnp.bfloat16)
+    wh = wh.astype(dt)
+    ww = ww.astype(dt)
+    img = img.astype(dt)
     t = jnp.einsum("bdh,bhwc->bdwc", wh, img)
     return jnp.einsum("bew,bdwc->bdec", ww, t)
 
@@ -402,6 +406,8 @@ class DevicePipeline:
                 kw = {"raw": True} if det_stride > 1 else {}
                 pred = det_model.apply(params, x, nhwc=True, **kw)
             else:
+                # det_dtype is f32 in this branch, so the astype is a
+                # defensive no-op guarding the f32 engine contract
                 x_nchw = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
                 if det_stride > 1:
                     # raw stride-s map straight from the head (models/dbnet.py)

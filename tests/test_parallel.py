@@ -173,8 +173,8 @@ def test_mesh_reads_text_with_trained_weights():
     rng = np.random.default_rng(5)
     pages, gt_texts = [], []
     for _ in range(2):
-        img, _, texts = render_page(rng, chars, 256, 320, max_lines=2,
-                                    lh_range=(26, 40), text_fn=natural_text)
+        img, _, texts = render_page(rng, chars, 256, 384, max_lines=2,
+                                    lh_range=(32, 44), text_fn=natural_text)
         pages.append(img)
         gt_texts.append(texts)
     rs = sharded.device_pipeline().run_many(pages)
@@ -185,4 +185,4 @@ def test_mesh_reads_text_with_trained_weights():
     n_gt = sum(len(t) for t in gt_texts)
     n_ok = sum(sum(g == t for g, t in zip(got, gt))
                for got, gt in zip(got_s, gt_texts))
-    assert n_ok >= max(1, int(0.6 * n_gt)), (got_s, gt_texts)
+    assert n_ok >= max(1, int(0.9 * n_gt)), (got_s, gt_texts)
