@@ -251,13 +251,16 @@ def bench_device_ceiling(weights_dir: Path) -> dict:
     cls_scal = jnp.asarray(np.tile(
         [[8.0, 600.0 / 192.0, 100.0, 32.0 / 48.0]], (n, 1)
     ).astype(np.float32))
+    cls_flip_scal = jnp.asarray(np.tile(
+        [[608.0, -600.0 / 192.0, 132.0, -32.0 / 48.0]], (n, 1)
+    ).astype(np.float32))
     w_rec = jnp.full((n,), 320, jnp.int32)
     w_cls = jnp.full((n,), 192, jnp.int32)
 
     def clsrec_step():
         return dp._clsrec_fwd(
             dp._params["cls"], dp._params["rec"], rgb_u8, rows,
-            cls_scal, w_cls, rec_scal, flip_scal, w_rec, vs,
+            cls_scal, cls_flip_scal, w_cls, rec_scal, flip_scal, w_rec, vs,
             out_w=320, use_cls=True,
         )
 

@@ -41,7 +41,15 @@ from flax import linen as nn
 from .common import ConvBNAct
 from .mobilenetv3 import LARGE_CFG, MobileNetV3
 
-__all__ = ["DBFPN", "DBHead", "DetModel", "TpuBackbone"]
+__all__ = [
+    "ConcatFPN",
+    "DBFPN",
+    "DBHead",
+    "DBHeadV2",
+    "DetModel",
+    "TpuBackbone",
+    "TpuBackboneV2",
+]
 
 
 def _upsample(x: jax.Array, factor: int) -> jax.Array:
@@ -116,6 +124,103 @@ class TpuBackbone(nn.Module):
         return feats  # strides 4, 8, 16, 32
 
 
+def _depth_to_space(x: jax.Array, block: int) -> jax.Array:
+    """NHWC [N,H,W,C*b*b] -> [N,H*b,W*b,C]: inverse of _space_to_depth —
+    the sub-pixel output head (learned upsample, no transposed convs)."""
+    n, h, w, c = x.shape
+    co = c // (block * block)
+    x = x.reshape(n, h, w, block, block, co)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(n, h * block, w * block, co)
+
+
+class TpuBackboneV2(nn.Module):
+    """Stride-8-native detection backbone (round-4 rework).
+
+    The r3 TpuBackbone measured 14.6% MFU: its 64/192-channel stages pad
+    to the 128-lane MXU granularity (≥2x wasted lanes) and its stride-4
+    stage pays 4x the spatial overhead of stride 8 for the same
+    information density.  Probe evidence (tools/det_probe.py r4): the same
+    block structure at all-×128 widths runs at 41% MFU.
+
+    Design: an 8x8 space-to-depth stem packs stride-2 detail losslessly
+    into 192 channels, so the WHOLE network runs on stride-8/16/32 grids
+    with channel widths that are exact multiples of 128 — every conv is a
+    full-lane MXU contraction, and fine localization is carried in
+    channels and recovered by the sub-pixel head (DBHeadV2).
+    """
+
+    widths: Sequence[int] = (128, 256, 384)
+    depths: Sequence[int] = (1, 1, 1)
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> list[jax.Array]:
+        x = _space_to_depth(x, 8)
+        feats: list[jax.Array] = []
+        for i, (w, d) in enumerate(zip(self.widths, self.depths)):
+            stride = 1 if i == 0 else 2
+            x = ConvBNAct(w, 3, stride, act="relu", dtype=self.dtype)(x, train)
+            for _ in range(d):
+                x = TpuResBlock(w, dtype=self.dtype)(x, train)
+            feats.append(x)
+        return feats  # strides 8, 16, 32
+
+
+class ConcatFPN(nn.Module):
+    """N-level top-down FPN: 1x1 lateral projections to ``inner_ch``,
+    nearest-neighbor top-down adds, then upsample-to-finest concat.  No
+    per-level 3x3 output convs (the r3 DBFPN's 128->32 convs ran at 3.3%
+    MFU — N=32 leaves 3/4 of the MXU lanes idle); the head's 3x3 does the
+    cross-level mixing on the concatenated (N_levels * inner_ch) tensor at
+    full lane occupancy."""
+
+    inner_ch: int = 128
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array], train: bool = False) -> jax.Array:
+        ins = [
+            nn.Conv(self.inner_ch, (1, 1), use_bias=False, dtype=self.dtype)(f)
+            for f in feats
+        ]
+        tops = [ins[-1]]
+        for f in reversed(ins[:-1]):
+            tops.append(f + _upsample(tops[-1], 2))
+        tops.reverse()  # finest first
+        fused = jnp.concatenate(
+            [t if i == 0 else _upsample(t, 1 << i) for i, t in enumerate(tops)],
+            axis=-1,
+        )
+        return fused
+
+
+class DBHeadV2(nn.Module):
+    """Sub-pixel binarization head: one 3x3 conv at the feature stride,
+    a 1x1 to (feature_stride/out_stride)^2 logit channels, and a
+    depth-to-space rearrange to the ``out_stride`` map — the upsample is
+    LEARNED per sub-position instead of bilinear, and all conv work stays
+    on the stride-8 grid."""
+
+    mid_ch: int = 128
+    out_stride: int = 2
+    feature_stride: int = 8
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False, return_logits: bool = False
+    ) -> jax.Array:
+        x = ConvBNAct(self.mid_ch, 3, 1, act="relu", dtype=self.dtype)(x, train)
+        factor = self.feature_stride // self.out_stride
+        logit = nn.Conv(factor * factor, (1, 1), dtype=self.dtype)(x)
+        if factor > 1:
+            logit = _depth_to_space(logit, factor)
+        if return_logits:
+            return logit
+        return nn.sigmoid(logit.astype(jnp.float32))
+
+
 class DBFPN(nn.Module):
     """Top-down FPN with concat fuse (PaddleOCR DBFPN)."""
 
@@ -161,12 +266,16 @@ class DBHead(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, return_logits: bool = False
+    ) -> jax.Array:
         x = ConvBNAct(self.mid_ch, 3, 1, act="relu", dtype=self.dtype)(x, train)
         logit = nn.Conv(1, (1, 1), dtype=self.dtype)(x)
         factor = 4 // self.out_stride
         if factor > 1:
             logit = _upsample_bilinear(logit, factor)
+        if return_logits:
+            return logit
         return nn.sigmoid(logit.astype(jnp.float32))
 
 
@@ -181,24 +290,39 @@ class DetModel(nn.Module):
     DB losses (targets must be rendered at the same stride).
     """
 
-    backbone: str = "tpu"  # "tpu" | "mobilenetv3"
+    backbone: str = "tpu"  # "tpu" | "tpu_v2" | "mobilenetv3"
     backbone_scale: float = 0.5  # mobilenetv3 only
-    widths: Sequence[int] = (64, 128, 192, 256)  # tpu backbone
+    widths: Sequence[int] = (64, 128, 192, 256)  # tpu backbones
     depths: Sequence[int] = (1, 2, 2, 2)
     inner_ch: int = 96
     head_ch: int = 64
     out_stride: int = 2
     dtype: jnp.dtype | None = None
 
+    def _head(self, fused, train: bool, return_logits: bool):
+        if self.backbone == "tpu_v2":
+            return DBHeadV2(
+                self.head_ch, self.out_stride, feature_stride=8,
+                dtype=self.dtype,
+            )(fused, train, return_logits=return_logits)
+        return DBHead(self.head_ch, self.out_stride, dtype=self.dtype)(
+            fused, train, return_logits=return_logits
+        )
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, raw: bool = False,
-                 nhwc: bool = False):
+                 nhwc: bool = False, raw_logits: bool = False):
         if not nhwc:
             x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC
         if self.dtype is not None:
             x = x.astype(self.dtype)
         if self.backbone == "tpu":
             feats = TpuBackbone(
+                widths=tuple(self.widths), depths=tuple(self.depths),
+                dtype=self.dtype,
+            )(x, train)
+        elif self.backbone == "tpu_v2":
+            feats = TpuBackboneV2(
                 widths=tuple(self.widths), depths=tuple(self.depths),
                 dtype=self.dtype,
             )(x, train)
@@ -210,12 +334,21 @@ class DetModel(nn.Module):
                 feature_strides=(4, 8, 16, 32),
                 dtype=self.dtype,
             )(x, train)
-        fused = DBFPN(self.inner_ch, self.inner_ch // 4, dtype=self.dtype)(
-            feats, train
-        )
-        prob = DBHead(self.head_ch, self.out_stride, dtype=self.dtype)(
-            fused, train
-        )  # NHWC, C=1, stride ``out_stride``
+        if self.backbone == "tpu_v2":
+            fused = ConcatFPN(self.inner_ch, dtype=self.dtype)(feats, train)
+        else:
+            fused = DBFPN(self.inner_ch, self.inner_ch // 4, dtype=self.dtype)(
+                feats, train
+            )
+        if raw_logits and not train:
+            # stride-``out_stride`` LOGITS in NCHW, still in the compute
+            # dtype — the fused DevicePipeline thresholds/sigmoids these
+            # in its own epilogue kernel (one pass, no full-map f32
+            # sigmoid materialization)
+            logit = self._head(fused, train, return_logits=True)
+            return jnp.transpose(logit, (0, 3, 1, 2))
+        prob = self._head(fused, train, return_logits=False)
+        # NHWC, C=1, stride ``out_stride``
         prob_nchw = jnp.transpose(prob, (0, 3, 1, 2))
         if not train:
             if self.out_stride > 1 and not raw:
@@ -226,9 +359,7 @@ class DetModel(nn.Module):
                     method="linear",
                 )
             return prob_nchw
-        thresh = DBHead(self.head_ch, self.out_stride, dtype=self.dtype)(
-            fused, train
-        )
+        thresh = self._head(fused, train, return_logits=False)
         thresh_nchw = jnp.transpose(thresh, (0, 3, 1, 2))
         # differentiable binarization: B = sigmoid(k (P - T)), k = 50
         binary = nn.sigmoid(50.0 * (prob_nchw - thresh_nchw))

@@ -121,23 +121,46 @@ class MobileNetV3(nn.Module):
 
 
 class ClsModel(nn.Module):
-    """Angle classifier: MobileNetV3-small backbone -> GAP -> FC -> softmax.
+    """Angle classifier: backbone -> GAP -> FC -> softmax.
 
     Engine contract (worker.rs:71): input f32 [N, 3, H, W] (NCHW like the
     reference), output probs f32 [N, num_classes] with classes == the config
     ``label`` list ((0, 180) by default, cls_processor.rs:29-35).
+
+    Backbones:
+    * ``arch="mbv3"`` — MobileNetV3-small (the reference checkpoint
+      family, ch_ppocr_mobile_v2.0_cls).
+    * ``arch="dense"`` — MXU-first (r4): a 4x4 space-to-depth stem packs
+      the 48x192 crop losslessly into 12x48x48 channels, then four dense
+      3x3 convs at ``width``/2*``width`` channels.  The mbv3 depthwise
+      tower measured 46 us/crop at n=32 on v5e (per-op overhead at tiny
+      channel counts dominates); this runs the same decision at full-lane
+      MXU contractions, with MORE effective capacity.
     """
 
     num_classes: int = 2
     scale: float = 0.35
+    arch: str = "mbv3"  # "mbv3" | "dense"
+    width: int = 128
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC
-        x = MobileNetV3(
-            cfg=tuple(SMALL_CFG), scale=self.scale, last_ch=576, dtype=self.dtype
-        )(x, train)
+        if self.arch == "dense":
+            from .dbnet import _space_to_depth
+
+            w = self.width
+            x = _space_to_depth(x, 4)  # [N, 12, 48, 48]
+            x = ConvBNAct(w, 3, 1, act="relu", dtype=self.dtype)(x, train)
+            x = ConvBNAct(2 * w, 3, 2, act="relu", dtype=self.dtype)(x, train)
+            x = ConvBNAct(2 * w, 3, 1, act="relu", dtype=self.dtype)(x, train)
+            x = ConvBNAct(2 * w, 3, 2, act="relu", dtype=self.dtype)(x, train)
+        else:
+            x = MobileNetV3(
+                cfg=tuple(SMALL_CFG), scale=self.scale, last_ch=576,
+                dtype=self.dtype,
+            )(x, train)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.num_classes, dtype=self.dtype)(x)
         x = x.astype(jnp.float32)

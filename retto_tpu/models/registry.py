@@ -28,20 +28,23 @@ MODEL_PRESETS: dict[str, dict[str, dict[str, Any]]] = {
                     mixer_dim=64, mixer_depth=1, num_heads=4),
     },
     "mobile": {
-        "det": dict(widths=(64, 128, 192, 256), depths=(1, 2, 2, 2),
-                    inner_ch=128, head_ch=64),
-        # PP-OCR's cls ships at scale 0.35; ours trains at 0.75 — the extra
-        # capacity is needed for orientation on blurred upscaled crops and
-        # for 180-degree micro-cues on near-symmetric content (TitleCase
-        # short words, digit runs); still ~2M params, negligible vs rec
-        "cls": dict(scale=0.75),
+        # r4: stride-8-native TpuBackboneV2 + sub-pixel head — all channel
+        # dims are multiples of the 128-lane MXU granularity; measured
+        # 0.71 ms/img at batch 16 @ 1024x768 vs 1.19 for the r3 v1 config
+        # (tools/det_probe.py --v2)
+        "det": dict(backbone="tpu_v2", widths=(128, 256, 384),
+                    depths=(1, 1, 1), inner_ch=128, head_ch=128),
+        # r4: dense 4x4-space-to-depth cls net — the MobileNetV3-0.75
+        # tower measured 46 us/crop at n=32 (depthwise per-op overhead);
+        # this runs full-lane dense contractions with more capacity
+        "cls": dict(arch="dense", width=128),
         "rec": dict(dims=(64, 128, 256, 512), depths=(2, 2, 2, 2),
                     mixer_dim=120, mixer_depth=2, num_heads=8),
     },
     "server": {
-        "det": dict(widths=(96, 192, 384, 512), depths=(2, 3, 3, 3),
-                    inner_ch=256, head_ch=128),
-        "cls": dict(scale=0.35),
+        "det": dict(backbone="tpu_v2", widths=(256, 384, 512),
+                    depths=(1, 2, 2), inner_ch=256, head_ch=256),
+        "cls": dict(arch="dense", width=128),
         "rec": dict(dims=(96, 192, 384, 768), depths=(3, 3, 6, 3),
                     mixer_dim=256, mixer_depth=4, num_heads=8),
     },

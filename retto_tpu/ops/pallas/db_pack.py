@@ -51,7 +51,10 @@ def _binarize_pack_tile(scratch, carry, first_tile, thresh, dilate, tile_h,
     """Threshold + dilate + pack one [tile_h, w] tile; ``carry`` is a
     [1, w] VMEM scratch holding the previous tile's last thresholded row
     (written here for the next step)."""
-    cur = (scratch[:] > thresh).astype(jnp.float32)  # [tile_h, w]
+    # upcast before the compare: Mosaic on v5e rejects bf16 vector cmpf
+    # ("Target does not support this comparison"); the convert fuses into
+    # the VPU pass, the DMA still moves bf16
+    cur = (scratch[:].astype(jnp.float32) > thresh).astype(jnp.float32)
     if dilate:
         prev_last = carry[:]  # [1, w]
         halo_m = jnp.where(first_tile, cur[0:1], prev_last)
@@ -130,7 +133,7 @@ def binarize_dilate_pack_rows(
             (_TILE_H // 8, w), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((_TILE_H, w), jnp.float32),
+            pltpu.VMEM((_TILE_H, w), pred2d.dtype),
             pltpu.VMEM((1, w), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
@@ -158,7 +161,7 @@ def binarize_dilate_pack_rows_batch(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((_TILE_H, w), jnp.float32),
+            pltpu.VMEM((_TILE_H, w), pred.dtype),
             pltpu.VMEM((1, w), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
         ],

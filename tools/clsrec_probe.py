@@ -88,13 +88,16 @@ def main() -> None:
     ).astype(np.float32))
     cls_scal = jnp.asarray(np.tile(
         [[8.0, 600.0 / 192.0, 100.0, 32.0 / 48.0]], (n, 1)).astype(np.float32))
+    cls_flip = jnp.asarray(np.tile(
+        [[608.0, -600.0 / 192.0, 132.0, -32.0 / 48.0]], (n, 1)
+    ).astype(np.float32))
     w_rec = jnp.full((n,), 320, jnp.int32)
     w_cls = jnp.full((n,), 192, jnp.int32)
 
     def full():
         return dp._clsrec_fwd(
             dp._params["cls"], dp._params["rec"], rgb_u8, rows,
-            cls_scal, w_cls, rec_scal, flip_scal, w_rec, vs,
+            cls_scal, cls_flip, w_cls, rec_scal, flip_scal, w_rec, vs,
             out_w=320, use_cls=True)
 
     timeit(f"clsrec_fwd full (n={n}, sym=on)", full, iters, per=n)
@@ -102,7 +105,7 @@ def main() -> None:
     def nocls():
         return dp._clsrec_fwd(
             dp._params["cls"], dp._params["rec"], rgb_u8, rows,
-            cls_scal, w_cls, rec_scal, flip_scal, w_rec, vs,
+            cls_scal, cls_flip, w_cls, rec_scal, flip_scal, w_rec, vs,
             out_w=320, use_cls=False)
 
     timeit(f"clsrec_fwd rec-only (n={n})", nocls, iters, per=n)
@@ -117,7 +120,7 @@ def main() -> None:
     def nosym():
         return dp2._clsrec_fwd(
             dp2._params["cls"], dp2._params["rec"], rgb_u8, rows,
-            cls_scal, w_cls, rec_scal, flip_scal, w_rec, vs,
+            cls_scal, cls_flip, w_cls, rec_scal, flip_scal, w_rec, vs,
             out_w=320, use_cls=True)
 
     timeit(f"clsrec_fwd full (n={n}, sym=OFF)", nosym, iters, per=n)

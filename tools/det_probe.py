@@ -69,6 +69,9 @@ def main() -> None:
     ap.add_argument("--submodules", action="store_true",
                     help="time backbone/FPN/head separately + width/batch "
                          "experiments (MFU-gap localization)")
+    ap.add_argument("--v2", action="store_true",
+                    help="time TpuBackboneV2 (stride-8-native, all-x128 "
+                         "widths, sub-pixel head) candidate configs")
     args = ap.parse_args()
     b, h, w = args.batch, args.h, args.w
 
@@ -91,6 +94,30 @@ def main() -> None:
         c = cost_of(fn, params, x)
         dt = timeit(label, lambda: fn(params, x), flops=c["flops"])
         return dt
+
+    if args.v2:
+        for label, kw in (
+            ("v2-lean w(128,256,384) d(1,1,1)",
+             dict(widths=(128, 256, 384), depths=(1, 1, 1))),
+            ("v2-mid w(128,256,384) d(2,2,2)",
+             dict(widths=(128, 256, 384), depths=(2, 2, 2))),
+            ("v2-wide w(256,384,512) d(1,2,2)",
+             dict(widths=(256, 384, 512), depths=(1, 2, 2))),
+        ):
+            m = DetModel(backbone="tpu_v2", inner_ch=128, head_ch=128,
+                         out_stride=2, dtype=jnp.bfloat16, **kw)
+            for bb in (b, 16):
+                from retto_tpu.weights import init_random_params
+
+                params = init_random_params(m, jnp.zeros((1, 3, 64, 64)))
+                xb = jnp.asarray(np.random.default_rng(0).uniform(
+                    -1, 1, (bb, 3, h, w)).astype(np.float32))
+                fn = jax.jit(lambda p, x, m=m: m.apply(p, x, raw_logits=True))
+                c = cost_of(fn, params, xb)
+                dt = timeit(f"{label} (batch {bb})",
+                            lambda: fn(params, xb), flops=c["flops"])
+                print(f"  -> {dt/bb*1e3:.3f} ms/img")
+        return
 
     # flagship: mobile preset (TpuBackbone, stride-2 head)
     det = build_det("mobile", compute_dtype="bfloat16")

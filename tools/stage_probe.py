@@ -131,7 +131,8 @@ def main() -> None:
     def clsrec(out_w=512):
         return dp._clsrec_fwd(
             dp._params["cls"], dp._params["rec"], rgb, rows_c,
-            jnp.asarray(h), cls_w, jnp.asarray(h), jnp.asarray(h), widths,
+            jnp.asarray(h), jnp.asarray(h), cls_w, jnp.asarray(h),
+            jnp.asarray(h), widths,
             vs_d, out_w=out_w, use_cls=True,
         )
 

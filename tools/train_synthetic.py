@@ -438,6 +438,12 @@ def _cls_fit(model, tx, state, data, data_n, rng, steps, batch):
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, data, idx, rot, gain, bias):
         x, lab = gather_cls_batch(data, idx, rot, gain, bias)
+        # the OPPOSITE stored orientation, left-aligned like every real
+        # crop — the r4 inference symmetrize warps the rot180 view
+        # in-distribution (device_pipeline.clsrec_fwd), so training's
+        # second view must be the same thing, NOT a canvas reversal
+        # (which parks content in the right pad region)
+        x_opp, _ = gather_cls_batch(data, idx, 1 - rot, gain, bias)
 
         def compute(params):
             # Inference gates the 180-degree rotation on the SYMMETRIZED
@@ -449,7 +455,7 @@ def _cls_fit(model, tx, state, data, data_n, rng, steps, batch):
             # probability, plus a small per-view term that keeps each
             # orientation individually discriminative.
             nb = x.shape[0]
-            x2 = jnp.concatenate([x, x[:, :, ::-1, ::-1]], axis=0)
+            x2 = jnp.concatenate([x, x_opp], axis=0)
             out, upd = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x2, train=True, mutable=["batch_stats"],
@@ -490,10 +496,11 @@ def _cls_fit(model, tx, state, data, data_n, rng, steps, batch):
     idx = jnp.asarray(rng.integers(0, data_n, 512))
     rot = jnp.asarray(rng.integers(0, 2, 512))
     x, lab = gather_cls_batch(data, idx, rot)
+    x_opp, _ = gather_cls_batch(data, idx, 1 - rot)
     jit_apply = jax.jit(model.apply)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     p1 = np.asarray(jit_apply(variables, x))
-    p2 = np.asarray(jit_apply(variables, x[:, :, ::-1, ::-1]))
+    p2 = np.asarray(jit_apply(variables, x_opp))
     q = 0.5 * (p1 + p2[:, ::-1])
     lab = np.asarray(lab)
     acc = float((q.argmax(1) == lab).mean())
@@ -514,9 +521,11 @@ def _cls_fit(model, tx, state, data, data_n, rng, steps, batch):
     hx_up, _ = gather_cls_batch(hdata, hidx, jnp.zeros(len(held), jnp.int32))
     hx_rot, _ = gather_cls_batch(hdata, hidx, jnp.ones(len(held), jnp.int32))
     out = {}
-    for name, hx in (("up", hx_up), ("rot", hx_rot)):
+    # the symmetrize pair is the stored OPPOSITE orientation (left-
+    # aligned), matching the r4 inference flip warp
+    for name, hx, hx_o in (("up", hx_up, hx_rot), ("rot", hx_rot, hx_up)):
         a = np.asarray(jit_apply(variables, hx))
-        b = np.asarray(jit_apply(variables, hx[:, :, ::-1, ::-1]))
+        b = np.asarray(jit_apply(variables, hx_o))
         out[name] = (a, b)
     eps = 1e-12
 
@@ -552,8 +561,11 @@ def _cls_fit(model, tx, state, data, data_n, rng, steps, batch):
         head["bias"] = head["bias"] / best_t
         params = dict(params)
         params["Dense_0"] = head
+    from retto_tpu.models import MODEL_PRESETS
+
     save_params(OUT / "cls.npz", {"params": params, "batch_stats": state.batch_stats},
-                meta={"preset": "mobile", "overrides": {}})
+                meta={"preset": "mobile",
+                      "overrides": dict(MODEL_PRESETS["mobile"]["cls"])})
     return acc
 
 
@@ -739,8 +751,13 @@ def train_det(steps=6000, batch=8, lr=8e-4, data_n=640, seed=2):
         if i % 100 == 0 or i == steps - 1:
             print(f"[det] step {i}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
 
+    # meta carries the FULL arch kwargs: presets evolve, checkpoints don't
+    # (an old det.npz must keep building the arch it was trained as)
+    from retto_tpu.models import MODEL_PRESETS
+
     save_params(OUT / "det.npz", {"params": state.params, "batch_stats": state.batch_stats},
-                meta={"preset": "mobile", "overrides": {}})
+                meta={"preset": "mobile",
+                      "overrides": dict(MODEL_PRESETS["mobile"]["det"])})
     # quick qualitative eval: mean prob inside/outside text on a fresh page
     img, bx, _ = render_page(rng, CHARS, DET_S, DET_S, lh_range=(24, 60))
     x = ((img[..., ::-1].astype(np.float32) / 255.0) - 0.5) / 0.5
