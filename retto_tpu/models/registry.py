@@ -33,7 +33,7 @@ MODEL_PRESETS: dict[str, dict[str, dict[str, Any]]] = {
         # 0.71 ms/img at batch 16 @ 1024x768 vs 1.19 for the r3 v1 config
         # (tools/det_probe.py --v2)
         "det": dict(backbone="tpu_v2", widths=(128, 256, 384),
-                    depths=(1, 1, 1), inner_ch=128, head_ch=128),
+                    depths=(2, 2, 2), inner_ch=128, head_ch=128),
         # r4: dense 4x4-space-to-depth cls net — the MobileNetV3-0.75
         # tower measured 46 us/crop at n=32 (depthwise per-op overhead);
         # this runs full-lane dense contractions with more capacity

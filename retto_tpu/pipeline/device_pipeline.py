@@ -1265,5 +1265,14 @@ class DevicePipeline:
                     out_w=bw,
                     use_cls=bool(cfg.use_cls),
                 )
+                # start the device->host copies the moment each bucket's
+                # compute finishes: the final batched device_get then finds
+                # most bytes already on the host instead of paying one
+                # full RTT+transfer wave at the end (VERDICT r3 item 5)
+                for leaf in jax.tree_util.tree_leaves(handle):
+                    try:
+                        leaf.copy_to_host_async()
+                    except Exception:  # noqa: BLE001 - multi-host shards
+                        pass
                 handles.append((items, handle))
         return handles

@@ -121,3 +121,41 @@ def render_big_line(
     noise = rng.normal(0.0, 6.0, line.shape)
     line = np.clip(line + noise, 0, 255).astype(np.uint8)
     return np.repeat(line[:, :, None], 3, axis=2)
+
+
+def render_big_page(
+    rng: np.random.Generator,
+    h: int = 480,
+    w: int = 640,
+    max_lines: int = 4,
+    lh_range: tuple[int, int] = (32, 56),
+    max_len: int = 8,
+    n_keys: int = BIG_NUM_KEYS,
+):
+    """A page of big-vocab pseudo-glyph lines — the full-pipeline analog
+    of synth.render_page for the reference-scale dict (det must box the
+    lines, cls must pass them through upright, rec must read the 6,625-
+    class strings end-to-end; rec_processor.rs:29-46).
+
+    Returns (img [h, w, 3] u8, boxes [N, 4] xyxy, texts)."""
+    img = np.full((h, w, 3), 255, np.uint8)
+    boxes, texts = [], []
+    n_lines = int(rng.integers(1, max_lines + 1))
+    y = int(rng.integers(6, 24))
+    for _ in range(n_lines):
+        lh = int(rng.integers(lh_range[0], lh_range[1]))
+        ids, text = random_big_text(rng, n_keys, max_len)
+        line = render_big_line(ids, lh, rng)
+        while line.shape[1] > w - 10 and len(ids) > 1:
+            # too wide for the page: drop trailing glyphs, re-render
+            ids, text = ids[:-1], text[:-1]
+            line = render_big_line(ids, lh, rng)
+        lw = line.shape[1]
+        if y + lh >= h or lw > w - 10:
+            break
+        x = int(rng.integers(3, max(4, w - lw - 3)))
+        img[y : y + lh, x : x + lw] = line
+        boxes.append((x, y, x + lw, y + lh))
+        texts.append(text)
+        y += lh + int(rng.integers(10, 28))
+    return img, np.asarray(boxes, np.float32).reshape(-1, 4), texts

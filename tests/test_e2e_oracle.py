@@ -233,3 +233,47 @@ def test_chunked_wide_line(session_nocls):
     # the wide line must have actually been chunked (width ratio >> 512/48)
     assert similarity(got_text, base_text) >= 0.9, (got_text, base_text)
     assert similarity(got_text, text) >= 0.9, (got_text, text)
+
+
+@pytest.mark.skipif(
+    not (WEIGHTS / "rec_big.npz").exists(),
+    reason="big-vocab checkpoint not present",
+)
+def test_bigvocab_full_pipeline():
+    """The 6,625-class head through the FULL fused pipeline (VERDICT r3
+    item 6): det boxes pseudo-glyph lines, cls passes them upright, rec
+    reads the reference-scale dict end-to-end (rec_processor.rs:29-46)."""
+    from retto_tpu import RettoSession, SessionConfig
+    from retto_tpu.ops.charset import CharacterDict
+    from retto_tpu.train.bigvocab import render_big_page
+
+    chars = CharacterDict(
+        (WEIGHTS / "charset_big.txt").read_text(encoding="utf-8").splitlines()
+    )
+    assert chars.num_classes == 6625
+    session = RettoSession(
+        SessionConfig(), preset="mobile", charset=chars,
+        weights={
+            "det": str(WEIGHTS / "det.npz"),
+            "cls": str(WEIGHTS / "cls.npz"),
+            "rec": str(WEIGHTS / "rec_big.npz"),
+        },
+    )
+    rng = np.random.default_rng(7)
+    pages, gts = [], []
+    while len(pages) < 2:
+        img, _, texts = render_big_page(rng, 320, 512, max_lines=2,
+                                        lh_range=(40, 56), max_len=6)
+        if texts:
+            pages.append(img)
+            gts.append(texts)
+    out = session.device_pipeline().run_many(pages)
+    n_ok = total = 0
+    got_all = []
+    for res, texts in zip(out, gts):
+        got = [t.text for t in res.rec_result]
+        got_all.append(got)
+        assert len(got) == len(texts), (got, texts)  # det boxed every line
+        total += len(texts)
+        n_ok += sum(g == t for g, t in zip(got, texts))
+    assert n_ok >= max(1, total - 1), (got_all, gts)

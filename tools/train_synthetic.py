@@ -694,13 +694,25 @@ def render_rec_pipeline_dataset(rng, n_pages=2400, max_len=16):
 
 
 def render_det_dataset(rng, n):
+    from retto_tpu.train.bigvocab import render_big_page
+
     pages, boxes = [], []
     for i in range(n):
         lh_lo = int(rng.integers(16, 40))
         lh_hi = lh_lo + int(rng.integers(8, 90))
-        img, bx, _ = render_page(
-            rng, CHARS, DET_S, DET_S, max_lines=6, lh_range=(lh_lo, min(lh_hi, 120))
-        )
+        if rng.random() < 0.15:
+            # big-vocab pseudo-glyph pages: det must box CJK-like stroke
+            # lines too (the full-pipeline big-vocab eval runs these
+            # through det->cls->rec; rec_processor.rs:29-46)
+            img, bx, _ = render_big_page(
+                rng, DET_S, DET_S, max_lines=5,
+                lh_range=(max(lh_lo, 24), max(min(lh_hi, 96), 32)),
+            )
+        else:
+            img, bx, _ = render_page(
+                rng, CHARS, DET_S, DET_S, max_lines=6,
+                lh_range=(lh_lo, min(lh_hi, 120)),
+            )
         if rng.random() < 0.3 and len(bx):
             # 180-rotated pages: det must fire on upside-down text too
             # (the cls stage is what un-rotates it, like the reference's
