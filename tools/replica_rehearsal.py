@@ -30,9 +30,6 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
-import numpy as np
-
-
 def main() -> None:
     if "--tpu" not in sys.argv:
         import jax
