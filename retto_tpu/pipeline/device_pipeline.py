@@ -280,6 +280,14 @@ class DevicePipeline:
         # device->host fetches are I/O waits over the tunnel; parking them
         # on threads lets them overlap the main thread's contour tracing
         self._fetch_pool = ThreadPoolExecutor(max_workers=2)
+        # device concat for cross-chunk crop accumulation (same upload
+        # shape): compiles once per (count x shape) combo; under a mesh
+        # the concatenated tensors feed row gathers, so keep them
+        # replicated like the per-chunk rgb
+        self._concat_dev = jax.jit(
+            lambda *xs: jnp.concatenate(xs, axis=0),
+            **({"out_shardings": self._replicated} if mesh is not None else {}),
+        )
         self._build_jits()
 
     # ------------------------------------------------------------------ #
@@ -897,10 +905,27 @@ class DevicePipeline:
 
         # ---- phase 2: per chunk — fetch (mask, pooled prob), trace
         # contours, score + finalize ON HOST (no device round trip: the
-        # pooled prob map rode down with the mask), dispatch fused cls+rec.
-        # Chunk k's cls+rec computes on device while chunk k+1 fetches and
-        # traces ----------------------------------------------------------- #
+        # pooled prob map rode down with the mask).  Crops ACCUMULATE
+        # across chunks of the same upload shape (their rgb tensors concat
+        # on device) and dispatch as full rec buckets — per-chunk
+        # dispatching left rec_batch occupancy at 0.51 on mixed-size
+        # streams (VERDICT r3 weak #1/#6); the old overlap argument is
+        # moot now that the whole batch's rec compute is ~3-5 ms ---------- #
         clsrec_handles: list[tuple[list[tuple], Any]] = []
+        acc: dict[tuple, dict] = {}
+
+        def flush_acc(key: tuple) -> None:
+            a = acc.pop(key, None)
+            if not a or not a["crops"]:
+                return
+            if len(a["chunks"]) == 1:
+                rgb, vs = a["chunks"][0]
+            else:
+                rgb = self._concat_dev(*[c[0] for c in a["chunks"]])
+                vs = self._concat_dev(*[c[1] for c in a["chunks"]])
+            clsrec_handles.extend(
+                self._dispatch_clsrec(rgb, vs, imgs, a["crops"], stats)
+            )
 
         def process_chunk(ch: _Chunk) -> None:
             t = time.perf_counter()
@@ -995,12 +1020,19 @@ class DevicePipeline:
                     ))
             chunk_crops = [c for i in ch.idxs for c in imgs[i].crops]
             if chunk_crops:
-                clsrec_handles.extend(
-                    self._dispatch_clsrec(ch, imgs, chunk_crops, stats)
-                )
+                key = (ch.key[0], ch.key[1], ch.key[4])  # (hp, wp, fmt)
+                a = acc.setdefault(key, {"chunks": [], "crops": [], "rows": 0})
+                base = a["rows"]
+                a["chunks"].append((ch.rgb, ch.valids_src))
+                a["rows"] += int(ch.rgb.shape[0])
+                a["crops"].extend((c, base) for c in chunk_crops)
+                if len(a["crops"]) >= 64:
+                    flush_acc(key)
 
         for ch in chunks:
             process_chunk(ch)
+        for key in list(acc):
+            flush_acc(key)
 
         # ---- phase 4: fetch cls+rec outputs, assemble.  ONE device_get
         # over every handle: transfers start async together instead of one
@@ -1131,9 +1163,17 @@ class DevicePipeline:
         return np.stack([top_a, top_b, bot_b, bot_a])
 
     def _dispatch_clsrec(
-        self, ch: _Chunk, imgs: list[_Img], crops: list[_CropTask], stats: dict
+        self,
+        rgb,
+        valids_src,
+        imgs: list[_Img],
+        crops: list[tuple[_CropTask, int]],
+        stats: dict,
     ) -> list[tuple[list[tuple], Any]]:
         """One fused cls+rec dispatch per rec width bucket (async).
+        ``crops`` carries (task, base_row): tasks may come from several
+        det chunks whose rgb tensors were concatenated; base_row is the
+        task's chunk offset in ``rgb``.
 
         Very wide lines (natural width > the largest width bucket) are
         CHUNKED: the crop splits into k uniformly-spaced overlapping
@@ -1154,9 +1194,10 @@ class DevicePipeline:
         _, ch_h, cw = cfg.cls.image_shape
         _, rh, rw_default = cfg.rec.image_shape
         wmax = bk.rec_width_buckets[-1]
+        base_of = {id(c): b for (c, b) in crops}
         # entry: (crop, seg_idx, k, x0, natural, rec_width)
         by_width: dict[int, list[tuple]] = {}
-        for c in crops:
+        for c, _base in crops:
             natural = int(math.ceil(rh * c.crop_w / c.crop_h))
             if natural <= wmax:
                 bw = _next_bucket(max(natural, rw_default), bk.rec_width_buckets)
@@ -1178,101 +1219,109 @@ class DevicePipeline:
             split: dict[bool, list[tuple]] = {True: [], False: []}
             for e in bucket_items:
                 split[_is_aligned(e[0].quad)].append(e)
-            for aligned, items in split.items():
-                if not items:
+            bmax = bk.rec_batch_buckets[-1]
+            for aligned, all_items in split.items():
+                if not all_items:
                     continue
-                rows, rec_widths, cls_widths = [], [], []
-                fwd_g, flip_g, cls_g, clsf_g = [], [], [], []
-                for (c, s, k, x0, natural, w_eff) in items:
-                    rows.append(imgs[c.img_i].row)
-                    rec_widths.append(w_eff)
-                    cls_widths.append(
-                        min(cw, int(math.ceil(ch_h * c.crop_w / c.crop_h)))
+                # slice accumulated oversize groups into full max-size
+                # batches (jit-cache friendly: no > bmax shapes compile)
+                slices = [
+                    all_items[i : i + bmax]
+                    for i in range(0, len(all_items), bmax)
+                ]
+                for items in slices:
+                    rows, rec_widths, cls_widths = [], [], []
+                    fwd_g, flip_g, cls_g, clsf_g = [], [], [], []
+                    for (c, s, k, x0, natural, w_eff) in items:
+                        rows.append(base_of[id(c)] + imgs[c.img_i].row)
+                        rec_widths.append(w_eff)
+                        cls_widths.append(
+                            min(cw, int(math.ceil(ch_h * c.crop_w / c.crop_h)))
+                        )
+                        if k == 1:
+                            sub = c.quad
+                            sub_m = c.quad
+                        else:
+                            sub = self._sub_quad(c.quad, x0, x0 + bw, natural)
+                            # flipped reading of segment s == 180-rotated
+                            # sampling of the mirrored segment (uniform spacing
+                            # is symmetric: x0_mirror = natural - bw - x0)
+                            sub_m = self._sub_quad(
+                                c.quad, natural - bw - x0, natural - x0, natural
+                            )
+                        seg_w = w_eff if k == 1 else bw
+                        if aligned:
+                            cls_g.append(
+                                _aligned_scal(c.quad, cls_widths[-1], ch_h, False)
+                            )
+                            clsf_g.append(
+                                _aligned_scal(c.quad, cls_widths[-1], ch_h, True)
+                            )
+                            fwd_g.append(_aligned_scal(sub, seg_w, rh, False))
+                            flip_g.append(_aligned_scal(sub_m, seg_w, rh, True))
+                        else:
+                            cls_g.append(
+                                self._quad_homog(c.quad, cls_widths[-1], ch_h)
+                            )
+                            clsf_g.append(self._quad_homog(
+                                c.quad, cls_widths[-1], ch_h, rot180=True
+                            ))
+                            fwd_g.append(self._quad_homog(sub, seg_w, rh))
+                            flip_g.append(
+                                self._quad_homog(sub_m, seg_w, rh, rot180=True)
+                            )
+                    cls_geo = np.asarray(cls_g, np.float32)
+                    cls_flips = np.asarray(clsf_g, np.float32)
+                    rec_geo = np.asarray(fwd_g, np.float32)
+                    rec_flips = np.asarray(flip_g, np.float32)
+                    nb = self._batch_bucket(len(items), bk.rec_batch_buckets)
+                    if nb > len(items):
+                        pad = nb - len(items)
+                        if aligned:
+                            filler = np.tile(
+                                np.asarray([[0.0, 1.0, 0.0, 1.0]], np.float32),
+                                (pad, 1),
+                            )
+                        else:
+                            filler = np.tile(
+                                np.eye(3, dtype=np.float32)[None], (pad, 1, 1)
+                            )
+                        cls_geo = np.concatenate([cls_geo, filler])
+                        cls_flips = np.concatenate([cls_flips, filler])
+                        rec_geo = np.concatenate([rec_geo, filler])
+                        rec_flips = np.concatenate([rec_flips, filler])
+                        rec_widths = rec_widths + [1] * pad
+                        cls_widths = cls_widths + [1] * pad
+                        rows = rows + [0] * pad
+                    self.metrics.record_batch("rec_batch", len(items), nb)
+                    self.metrics.record_batch(
+                        f"rec_width_{bw}", int(sum(rec_widths[: len(items)])),
+                        bw * len(items),
                     )
-                    if k == 1:
-                        sub = c.quad
-                        sub_m = c.quad
-                    else:
-                        sub = self._sub_quad(c.quad, x0, x0 + bw, natural)
-                        # flipped reading of segment s == 180-rotated
-                        # sampling of the mirrored segment (uniform spacing
-                        # is symmetric: x0_mirror = natural - bw - x0)
-                        sub_m = self._sub_quad(
-                            c.quad, natural - bw - x0, natural - x0, natural
-                        )
-                    seg_w = w_eff if k == 1 else bw
-                    if aligned:
-                        cls_g.append(
-                            _aligned_scal(c.quad, cls_widths[-1], ch_h, False)
-                        )
-                        clsf_g.append(
-                            _aligned_scal(c.quad, cls_widths[-1], ch_h, True)
-                        )
-                        fwd_g.append(_aligned_scal(sub, seg_w, rh, False))
-                        flip_g.append(_aligned_scal(sub_m, seg_w, rh, True))
-                    else:
-                        cls_g.append(
-                            self._quad_homog(c.quad, cls_widths[-1], ch_h)
-                        )
-                        clsf_g.append(self._quad_homog(
-                            c.quad, cls_widths[-1], ch_h, rot180=True
-                        ))
-                        fwd_g.append(self._quad_homog(sub, seg_w, rh))
-                        flip_g.append(
-                            self._quad_homog(sub_m, seg_w, rh, rot180=True)
-                        )
-                cls_geo = np.asarray(cls_g, np.float32)
-                cls_flips = np.asarray(clsf_g, np.float32)
-                rec_geo = np.asarray(fwd_g, np.float32)
-                rec_flips = np.asarray(flip_g, np.float32)
-                nb = self._batch_bucket(len(items), bk.rec_batch_buckets)
-                if nb > len(items):
-                    pad = nb - len(items)
-                    if aligned:
-                        filler = np.tile(
-                            np.asarray([[0.0, 1.0, 0.0, 1.0]], np.float32),
-                            (pad, 1),
-                        )
-                    else:
-                        filler = np.tile(
-                            np.eye(3, dtype=np.float32)[None], (pad, 1, 1)
-                        )
-                    cls_geo = np.concatenate([cls_geo, filler])
-                    cls_flips = np.concatenate([cls_flips, filler])
-                    rec_geo = np.concatenate([rec_geo, filler])
-                    rec_flips = np.concatenate([rec_flips, filler])
-                    rec_widths = rec_widths + [1] * pad
-                    cls_widths = cls_widths + [1] * pad
-                    rows = rows + [0] * pad
-                self.metrics.record_batch("rec_batch", len(items), nb)
-                self.metrics.record_batch(
-                    f"rec_width_{bw}", int(sum(rec_widths[: len(items)])),
-                    bw * len(items),
-                )
-                stats["dispatches"] += 1
-                handle = self._clsrec_fwd(
-                    self._params["cls"],
-                    self._params["rec"],
-                    ch.rgb,
-                    self._put(np.asarray(rows, np.int32)),
-                    self._put(cls_geo),
-                    self._put(cls_flips),
-                    self._put(np.asarray(cls_widths, np.int32)),
-                    self._put(rec_geo),
-                    self._put(rec_flips),
-                    self._put(np.asarray(rec_widths, np.int32)),
-                    ch.valids_src,
-                    out_w=bw,
-                    use_cls=bool(cfg.use_cls),
-                )
-                # start the device->host copies the moment each bucket's
-                # compute finishes: the final batched device_get then finds
-                # most bytes already on the host instead of paying one
-                # full RTT+transfer wave at the end (VERDICT r3 item 5)
-                for leaf in jax.tree_util.tree_leaves(handle):
-                    try:
-                        leaf.copy_to_host_async()
-                    except Exception:  # noqa: BLE001 - multi-host shards
-                        pass
-                handles.append((items, handle))
+                    stats["dispatches"] += 1
+                    handle = self._clsrec_fwd(
+                        self._params["cls"],
+                        self._params["rec"],
+                        rgb,
+                        self._put(np.asarray(rows, np.int32)),
+                        self._put(cls_geo),
+                        self._put(cls_flips),
+                        self._put(np.asarray(cls_widths, np.int32)),
+                        self._put(rec_geo),
+                        self._put(rec_flips),
+                        self._put(np.asarray(rec_widths, np.int32)),
+                        valids_src,
+                        out_w=bw,
+                        use_cls=bool(cfg.use_cls),
+                    )
+                    # start the device->host copies the moment each bucket's
+                    # compute finishes: the final batched device_get then finds
+                    # most bytes already on the host instead of paying one
+                    # full RTT+transfer wave at the end (VERDICT r3 item 5)
+                    for leaf in jax.tree_util.tree_leaves(handle):
+                        try:
+                            leaf.copy_to_host_async()
+                        except Exception:  # noqa: BLE001 - multi-host shards
+                            pass
+                    handles.append((items, handle))
         return handles
