@@ -700,13 +700,24 @@ def render_det_dataset(rng, n):
     for i in range(n):
         lh_lo = int(rng.integers(16, 40))
         lh_hi = lh_lo + int(rng.integers(8, 90))
-        if rng.random() < 0.15:
+        r = rng.random()
+        if r < 0.15:
             # big-vocab pseudo-glyph pages: det must box CJK-like stroke
             # lines too (the full-pipeline big-vocab eval runs these
             # through det->cls->rec; rec_processor.rs:29-46)
             img, bx, _ = render_big_page(
                 rng, DET_S, DET_S, max_lines=5,
                 lh_range=(max(lh_lo, 24), max(min(lh_hi, 96), 32)),
+            )
+        elif r < 0.40:
+            # large-type pages: the session's min-side-736 det upscale puts
+            # a 44 px line on a 200 px-tall receipt at ~160 px in det
+            # coords — far above the small-page lh cap; without these the
+            # det under-paints wide word gaps in big text (r4 eval:
+            # '2203 3478 side' fragmenting into per-group boxes)
+            img, bx, _ = render_page(
+                rng, CHARS, DET_S, DET_S, max_lines=3,
+                lh_range=(int(rng.integers(90, 130)), 200),
             )
         else:
             img, bx, _ = render_page(
