@@ -30,6 +30,7 @@ __all__ = [
     "make_cls_batch",
     "make_det_batch",
     "db_ground_truth",
+    "render_page_natural",
 ]
 
 _FONTS = [
@@ -409,6 +410,61 @@ def render_page(
         texts.append(text)
         y += lh + int(rng.integers(8, 24))
     return img, np.asarray(boxes, np.float32).reshape(-1, 4), texts
+
+
+def render_page_natural(
+    rng: np.random.Generator,
+    chars: CharacterDict,
+    h: int = 256,
+    w: int = 320,
+    max_lines: int = 4,
+    size_range: tuple[int, int] = (14, 48),
+    text_fn=None,
+):
+    """A page drawn at NATURAL font metrics: each line is drawn in place
+    with ImageDraw (no tile resize) and the ground-truth box is the tight
+    ink extent (font.getbbox) — the same definition the reference oracle
+    measures BR corners against (session.rs:206-255 checks the text
+    extent).
+
+    ``render_page`` pastes ``render_line`` tiles whose ink is
+    anamorphically stretched to fill the tile, so a det trained only on
+    tiles learns to paint the full typographic band and overshoots
+    ascender/descender whitespace on naturally-rendered text (r4 eval:
+    +8/+12 px top/bottom bias on digit/cap-height lines, exact on
+    descender lines).  Mixing these pages teaches tight-to-ink boxes.
+
+    Returns (img [h,w,3] u8, boxes [N,4] xyxy, texts)."""
+    img = Image.new("RGB", (w, h), (255, 255, 255))
+    d = ImageDraw.Draw(img)
+    usable = chars.chars[1:-1]
+    boxes, texts = [], []
+    n_lines = int(rng.integers(1, max_lines + 1))
+    y = int(rng.integers(2, 16))
+    for _ in range(n_lines):
+        size = int(rng.integers(size_range[0], size_range[1] + 1))
+        font = default_font(size, int(rng.integers(0, len(_FONTS))))
+        text = text_fn(rng) if text_fn else random_text(rng, usable, 10)
+        l, t, r, b = font.getbbox(text)
+        while text and r - l > w - 6:  # shed trailing chars until it fits
+            text = text[:-1].rstrip()
+            l, t, r, b = font.getbbox(text)
+        iw, ih = r - l, b - t
+        if not text or iw < 2 or ih < 2:
+            continue
+        if y + ih >= h:
+            break
+        x = int(rng.integers(2, max(3, w - iw - 2)))
+        # draw so the INK top-left lands at (x, y); GT is the ink extent
+        d.text((x - l, y - t), text, font=font, fill=(0, 0, 0))
+        boxes.append((x, y, x + iw, y + ih))
+        texts.append(text)
+        y += ih + int(rng.integers(8, 24))
+    return (
+        np.asarray(img, dtype=np.uint8),
+        np.asarray(boxes, np.float32).reshape(-1, 4),
+        texts,
+    )
 
 
 def make_det_batch(

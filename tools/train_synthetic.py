@@ -54,6 +54,7 @@ from retto_tpu.train.synth import (
     random_text,
     render_line,
     render_page,
+    render_page_natural,
 )
 from retto_tpu.train.trainer import TrainState, init_train_state
 from retto_tpu.weights import save_params
@@ -701,7 +702,7 @@ def render_det_dataset(rng, n):
         lh_lo = int(rng.integers(16, 40))
         lh_hi = lh_lo + int(rng.integers(8, 90))
         r = rng.random()
-        if r < 0.15:
+        if r < 0.12:
             # big-vocab pseudo-glyph pages: det must box CJK-like stroke
             # lines too (the full-pipeline big-vocab eval runs these
             # through det->cls->rec; rec_processor.rs:29-46)
@@ -709,15 +710,29 @@ def render_det_dataset(rng, n):
                 rng, DET_S, DET_S, max_lines=5,
                 lh_range=(max(lh_lo, 24), max(min(lh_hi, 96), 32)),
             )
+        elif r < 0.32:
+            # large-type NATURAL pages: the session's min-side-736 det
+            # upscale puts a 44 px line on a 200 px-tall receipt at
+            # ~160 px in det coords — the eval/oracle regime.  Natural
+            # metrics + tight-ink GT (see render_page_natural docstring:
+            # tile-only training made the det paint the full em band,
+            # +12 px BR bias on the r4 n=512 eval)
+            img, bx, _ = render_page_natural(
+                rng, CHARS, DET_S, DET_S, max_lines=3,
+                size_range=(80, 170),
+            )
         elif r < 0.40:
-            # large-type pages: the session's min-side-736 det upscale puts
-            # a 44 px line on a 200 px-tall receipt at ~160 px in det
-            # coords — far above the small-page lh cap; without these the
-            # det under-paints wide word gaps in big text (r4 eval:
-            # '2203 3478 side' fragmenting into per-group boxes)
+            # large-type tile pages: keep the wide-word-gap robustness
+            # the r4 fix bought ('2203 3478 side' fragmenting)
             img, bx, _ = render_page(
                 rng, CHARS, DET_S, DET_S, max_lines=3,
                 lh_range=(int(rng.integers(90, 130)), 200),
+            )
+        elif r < 0.72:
+            # natural-metrics pages at body-text sizes (tight-ink GT)
+            img, bx, _ = render_page_natural(
+                rng, CHARS, DET_S, DET_S, max_lines=6,
+                size_range=(max(lh_lo - 4, 12), min(lh_hi, 72)),
             )
         else:
             img, bx, _ = render_page(
