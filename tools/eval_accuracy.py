@@ -62,6 +62,7 @@ def main() -> None:
     n_up_norot = n_rot_text = 0
     fails = []
     cls_fails = []
+    det_fails = []
     for i in range(n):
         text = natural_text(rng, max_words=3)
         img, bbox = render(text)
@@ -71,6 +72,12 @@ def main() -> None:
             br = res.det_result[0].box.br
             if abs(br.x - bbox[2]) <= 10 and abs(br.y - bbox[3]) <= 10:
                 n_box += 1
+            else:
+                det_fails.append(
+                    (text, "BR", (br.x, br.y), (bbox[2], bbox[3]))
+                )
+        else:
+            det_fails.append((text, "NBOX", len(res.det_result), None))
         got = res.rec_result[0].text if res.rec_result.texts else ""
         if got == text:
             n_exact += 1
@@ -123,6 +130,8 @@ def main() -> None:
         print(f"  MISS {t!r} -> {g!r}")
     for kind, t, lb, sc in cls_fails:
         print(f"  CLS-{kind} {t!r} -> label={lb} score={sc}")
+    for t, kind, got, want in det_fails:
+        print(f"  DET-{kind} {t!r} -> {got} (want {want})")
 
 
 if __name__ == "__main__":

@@ -139,9 +139,7 @@ def eval_multiline(dp, rng, chars, n: int, batch: int = 16):
             got = [t.text for t in res.rec_result]
             stats["pages"] += 1
             stats["lines"] += len(texts)
-            stats["det"] += min(len(got), len(texts)) if len(got) == len(
-                texts
-            ) else min(len(got), len(texts))
+            stats["det"] += min(len(got), len(texts))
             ok = sum(g == t for g, t in zip(got, texts))
             stats["rec"] += ok
             if ok == len(texts) and len(got) == len(texts):

@@ -40,6 +40,11 @@ JOBS = [
       "--data-cache", "/tmp/synth_cache"], 3600),
     ("eval512",
      [sys.executable, "tools/eval_accuracy.py", "512", "--tpu"], 4500),
+    ("eval_heldout",
+     [sys.executable, "tools/eval_heldout.py", "256", "--tpu"], 4500),
+    ("eval_bigvocab",
+     [sys.executable, "tools/eval_bigvocab_pipeline.py", "256", "--tpu"],
+     2400),
     ("bench",
      [sys.executable, "bench.py"], 2400),
 ]
