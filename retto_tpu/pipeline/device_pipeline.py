@@ -165,6 +165,8 @@ class _CropTask:
     crop_h: int  # natural crop size (post-rot90)
     crop_w: int
     cls_label: Any = None
+    im: Any = None  # owning _Img (direct ref: crops may cross batches)
+    sid: int = 0  # owning _prepare state id (disambiguates img_i/box_i)
 
 
 @dataclass
@@ -277,6 +279,7 @@ class DevicePipeline:
         # one parallelizes decode + contour tracing (the C++ contour call
         # releases the GIL)
         self._upload_pool = ThreadPoolExecutor(max_workers=1)
+        self._sid = 0  # monotone _prepare state counter (stream keys)
         # device->host fetches are I/O waits over the tunnel; parking them
         # on threads lets them overlap the main thread's contour tracing
         self._fetch_pool = ThreadPoolExecutor(max_workers=2)
@@ -808,27 +811,43 @@ class DevicePipeline:
 
     def stream(self, batches):
         """Sustained-streaming mode (BASELINE config 5): a generator over
-        batches of inputs where batch i+1's decode + uploads run while
-        batch i's postprocess/fetch tail completes — consecutive
-        ``run_many`` calls leave the wire idle during the tail; this
-        doesn't."""
+        batches of inputs, software-pipelined two deep — batch i+1's
+        decode + uploads run while batch i's postprocess tail completes
+        (consecutive ``run_many`` calls leave the wire idle there), and
+        batch i's results are yielded only after batch i+1's det phase,
+        so i's underfull rec size-class buckets absorb i+1's early crops
+        (cross-BATCH crop accumulation: per-batch flushing capped
+        rec_batch occupancy at ~0.5 on mixed-size streams, VERDICT r3
+        item 4).  Results arrive in order, one batch behind the det
+        work; latency of the last batch is unchanged."""
         prep_pool = ThreadPoolExecutor(max_workers=1)
+        acc: dict[tuple, dict] = {}
+        handles: list[tuple[list[tuple], Any]] = []
+        texts: dict[tuple, RecText] = {}
         try:
             it = iter(batches)
             try:
                 state = self._prepare(next(it))
             except StopIteration:
                 return
+            prev = None
             for nxt in it:
                 fut = prep_pool.submit(self._prepare, nxt)
-                yield self._finish(state)
-                state = fut.result()
-            yield self._finish(state)
+                self._finish_det(state, acc, handles)
+                if prev is not None:
+                    yield self._assemble(prev, acc, handles, texts)
+                prev, state = state, fut.result()
+            self._finish_det(state, acc, handles)
+            if prev is not None:
+                yield self._assemble(prev, acc, handles, texts)
+            yield self._assemble(state, acc, handles, texts)
         finally:
             prep_pool.shutdown(wait=False)
 
     def _prepare(self, inputs: Sequence[bytes | np.ndarray]) -> dict:
         cfg = self.cfg
+        sid = self._sid
+        self._sid += 1
         stats = {
             "images": len(inputs), "crops": 0, "chunks": 0,
             "bytes_up": 0, "bytes_down": 0, "dispatches": 0,
@@ -894,38 +913,52 @@ class DevicePipeline:
         stats["chunks"] = len(chunks)
         stats["t_decode"] = time.perf_counter() - t
         return {"imgs": imgs, "chunks": chunks, "stats": stats, "t0": t0,
-                "errors": errors}
+                "errors": errors, "sid": sid}
 
     def _finish(self, state: dict, stage_callback=None) -> list[OcrResult]:
+        """run_many composition: det postprocess + crop dispatch
+        (``_finish_det``), then clsrec fetch + result assembly
+        (``_assemble``).  ``stream()`` drives the two halves itself so
+        crop accumulation and assembly pipeline ACROSS batches."""
+        acc: dict[tuple, dict] = {}
+        handles: list[tuple[list[tuple], Any]] = []
+        self._finish_det(state, acc, handles, stage_callback)
+        return self._assemble(state, acc, handles, {}, stage_callback)
+
+    def _flush_acc(self, acc: dict, key: tuple, handles: list) -> None:
+        a = acc.pop(key, None)
+        if not a or not a["crops"]:
+            return
+        if len(a["chunks"]) == 1:
+            rgb, vs = a["chunks"][0]
+        else:
+            rgb = self._concat_dev(*[c[0] for c in a["chunks"]])
+            vs = self._concat_dev(*[c[1] for c in a["chunks"]])
+        handles.extend(
+            self._dispatch_clsrec(rgb, vs, a["crops"], a["stats"])
+        )
+
+    def _finish_det(
+        self, state: dict, acc: dict, handles: list, stage_callback=None
+    ) -> None:
+        """Phases 2-3: per chunk — fetch (mask, pooled prob), trace
+        contours, score + finalize ON HOST (no device round trip: the
+        pooled prob map rode down with the mask).  Crops ACCUMULATE
+        across chunks of the same upload shape (their rgb tensors concat
+        on device) and dispatch as full rec buckets — per-chunk
+        dispatching left rec_batch occupancy at 0.51 on mixed-size
+        streams (VERDICT r3 weak #1/#6).  ``acc``/``handles`` are caller-
+        owned: in stream mode they persist across batches, so one
+        batch's underfull size-class bucket absorbs the next batch's
+        early crops (VERDICT r3 item 4)."""
         cfg = self.cfg
         imgs: list[_Img] = state["imgs"]
         chunks: list[_Chunk] = state["chunks"]
         stats = state["stats"]
-        t0 = state["t0"]
-
-        # ---- phase 2: per chunk — fetch (mask, pooled prob), trace
-        # contours, score + finalize ON HOST (no device round trip: the
-        # pooled prob map rode down with the mask).  Crops ACCUMULATE
-        # across chunks of the same upload shape (their rgb tensors concat
-        # on device) and dispatch as full rec buckets — per-chunk
-        # dispatching left rec_batch occupancy at 0.51 on mixed-size
-        # streams (VERDICT r3 weak #1/#6); the old overlap argument is
-        # moot now that the whole batch's rec compute is ~3-5 ms ---------- #
-        clsrec_handles: list[tuple[list[tuple], Any]] = []
-        acc: dict[tuple, dict] = {}
+        sid = state["sid"]
 
         def flush_acc(key: tuple) -> None:
-            a = acc.pop(key, None)
-            if not a or not a["crops"]:
-                return
-            if len(a["chunks"]) == 1:
-                rgb, vs = a["chunks"][0]
-            else:
-                rgb = self._concat_dev(*[c[0] for c in a["chunks"]])
-                vs = self._concat_dev(*[c[1] for c in a["chunks"]])
-            clsrec_handles.extend(
-                self._dispatch_clsrec(rgb, vs, imgs, a["crops"], stats)
-            )
+            self._flush_acc(acc, key, handles)
 
         def process_chunk(ch: _Chunk) -> None:
             t = time.perf_counter()
@@ -1002,7 +1035,9 @@ class DevicePipeline:
                         # [tr, br, bl, tl] (image_helper.rs:245-247)
                         quad = quad[[1, 2, 3, 0]]
                         h_crop, w_crop = w_crop, h_crop
-                    im.crops.append(_CropTask(i, j, quad, h_crop, w_crop))
+                    im.crops.append(
+                        _CropTask(i, j, quad, h_crop, w_crop, im=im, sid=sid)
+                    )
                 stats["crops"] += len(im.boxes)
             stats["t_score"] += time.perf_counter() - t
             if stage_callback is not None:
@@ -1022,6 +1057,7 @@ class DevicePipeline:
             if chunk_crops:
                 key = (ch.key[0], ch.key[1], ch.key[4])  # (hp, wp, fmt)
                 a = acc.setdefault(key, {"chunks": [], "crops": [], "rows": 0})
+                a["stats"] = stats  # dispatches bill the flushing batch
                 base = a["rows"]
                 a["chunks"].append((ch.rgb, ch.valids_src))
                 a["rows"] += int(ch.rgb.shape[0])
@@ -1031,16 +1067,23 @@ class DevicePipeline:
 
         for ch in chunks:
             process_chunk(ch)
-        for key in list(acc):
-            flush_acc(key)
 
-        # ---- phase 4: fetch cls+rec outputs, assemble.  ONE device_get
-        # over every handle: transfers start async together instead of one
-        # blocking round trip per array (the tunnel RTT is ~50 ms) -------- #
+    def _fetch_texts(
+        self, handles: list, stats: dict, texts: dict
+    ) -> None:
+        """Phase 4a: fetch cls+rec outputs for every outstanding handle.
+        ONE device_get over all handles: transfers start async together
+        instead of one blocking round trip per array (the tunnel RTT is
+        ~50 ms).  Decoded texts land in caller-owned ``texts`` keyed
+        (sid, img_i, box_i) — handles may cover crops of several stream
+        batches; later assembles read their entries from the cache."""
+        cfg = self.cfg
         t = time.perf_counter()
-        rec_texts: dict[tuple[int, int], RecText] = {}
-        fetched = jax.device_get([h for _, h in clsrec_handles])
-        for (entries, _), handle in zip(clsrec_handles, fetched):
+        rec_texts = texts
+        fetched = jax.device_get([h for _, h in handles])
+        taken = list(handles)
+        handles.clear()
+        for (entries, _), handle in zip(taken, fetched):
             probs, flip, idxs, keep, score = handle
             n = len(entries)
             probs = probs[:n]
@@ -1052,10 +1095,10 @@ class DevicePipeline:
             )
             pred = probs.argmax(axis=1) if n else np.zeros((0,), np.int64)
             # group segment rows by parent crop (k == 1 for normal crops)
-            by_crop: dict[tuple[int, int], list[tuple[int, tuple]]] = {}
+            by_crop: dict[tuple[int, int, int], list[tuple[int, tuple]]] = {}
             for r, e in enumerate(entries):
                 c = e[0]
-                by_crop.setdefault((c.img_i, c.box_i), []).append((r, e))
+                by_crop.setdefault((c.sid, c.img_i, c.box_i), []).append((r, e))
             for key, seg_rows in by_crop.items():
                 seg_rows.sort(key=lambda re: re[1][1])  # by seg index
                 r0, (c, _s, k, _x0, natural, _w) = seg_rows[0]
@@ -1097,7 +1140,33 @@ class DevicePipeline:
                     else 0.0
                 )
                 rec_texts[key] = RecText(text=text, score=float(sc))
-        stats["t_clsrec_fetch"] = time.perf_counter() - t
+        stats["t_clsrec_fetch"] += time.perf_counter() - t
+
+    def _assemble(
+        self,
+        state: dict,
+        acc: dict,
+        handles: list,
+        texts: dict,
+        stage_callback=None,
+    ) -> list[OcrResult | RettoError]:
+        """Phase 4b: flush the accumulators still holding this state's
+        crops (in stream mode they may also carry NEWER batches' crops —
+        dispatching them together is the point: full buckets), fetch
+        outstanding handles, build results."""
+        cfg = self.cfg
+        imgs: list[_Img] = state["imgs"]
+        stats = state["stats"]
+        t0 = state["t0"]
+        sid = state["sid"]
+        for key in [
+            k for k, a in acc.items()
+            if any(c.sid <= sid for c, _ in a["crops"])
+        ]:
+            self._flush_acc(acc, key, handles)
+        if handles:
+            self._fetch_texts(handles, stats, texts)
+        rec_texts = texts
 
         errors: dict[int, RettoError] = state.get("errors", {})
         out: list[OcrResult | RettoError] = []
@@ -1115,7 +1184,7 @@ class DevicePipeline:
                 else []
             )
             rec_res = RecResult(
-                [rec_texts.get((i, c.box_i), RecText()) for c in im.crops]
+                [rec_texts.pop((sid, i, c.box_i), RecText()) for c in im.crops]
             )
             if stage_callback is not None:
                 stage_callback(i, StageResult(stage="cls", result=cls_res))
@@ -1166,7 +1235,6 @@ class DevicePipeline:
         self,
         rgb,
         valids_src,
-        imgs: list[_Img],
         crops: list[tuple[_CropTask, int]],
         stats: dict,
     ) -> list[tuple[list[tuple], Any]]:
@@ -1233,7 +1301,7 @@ class DevicePipeline:
                     rows, rec_widths, cls_widths = [], [], []
                     fwd_g, flip_g, cls_g, clsf_g = [], [], [], []
                     for (c, s, k, x0, natural, w_eff) in items:
-                        rows.append(base_of[id(c)] + imgs[c.img_i].row)
+                        rows.append(base_of[id(c)] + c.im.row)
                         rec_widths.append(w_eff)
                         cls_widths.append(
                             min(cw, int(math.ceil(ch_h * c.crop_w / c.crop_h)))

@@ -113,6 +113,53 @@ def test_large_image(session):
     assert got == text, f"{got!r} != {text!r}"
 
 
+def test_large_type_no_fragmentation(session):
+    # r4 regression: the min-side-736 det upscale puts a 44 px line on a
+    # 200 px-tall page at ~160 px in det coordinates; before the
+    # large-type curriculum (tools/train_synthetic.py render_det_dataset)
+    # the det under-painted wide word gaps at that scale and fragmented
+    # '2203 3478 side' into per-word-group boxes
+    text = "2203 3478 side"
+    img, bbox = render(text)
+    res = session.run(img)
+    assert len(res.det_result) == 1, (
+        f"large-type line fragmented into {len(res.det_result)} boxes"
+    )
+    box = res.det_result[0].box
+    assert abs(box.br.x - bbox[2]) <= 10 and abs(box.br.y - bbox[3]) <= 10, (
+        box, bbox
+    )
+    got = res.rec_result[0].text
+    assert got == text, f"{got!r} != {text!r}"
+
+
+def test_stream_cross_batch_accumulation(session):
+    # stream() pipelines two deep and lets batch i's underfull rec
+    # size-class buckets absorb batch i+1's crops (cross-BATCH crop
+    # accumulation, VERDICT r3 item 4).  The semantic invariant: texts
+    # and box counts are EXACTLY what back-to-back run_many produces,
+    # in order, on mixed page sizes (several accumulator keys).
+    texts = ["open", "9310 let", "total 42", "week", "price 7", "turn"]
+    batches = []
+    for bi in range(3):
+        batch = []
+        for ti, t in enumerate(texts[bi * 2: bi * 2 + 2]):
+            w, h = [(640, 200), (512, 160)][ti % 2]
+            img, _ = render(t, w=w, h=h, size=36, xy=(20, 60))
+            batch.append(img)
+        batches.append(batch)
+    dp = session.device_pipeline()
+    seq = [dp.run_many(b) for b in batches]
+    got = list(dp.stream(batches))
+    assert len(got) == len(seq)
+    for rs, rg in zip(seq, got):
+        for a, b in zip(rs, rg):
+            assert [t.text for t in a.rec_result] == [
+                t.text for t in b.rec_result
+            ]
+            assert len(a.det_result) == len(b.det_result)
+
+
 def test_multiline_reading_order(session):
     from PIL import Image, ImageDraw, ImageFont
 
