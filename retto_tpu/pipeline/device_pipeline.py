@@ -379,9 +379,21 @@ class DevicePipeline:
                 rgb_det = _resize2(wh, ww, rgb.astype(det_dtype))
                 rgb_u8 = rgb
             x = rgb_det[..., ::-1]  # BGR (det_processor.rs:268)
-            mean = jnp.asarray(det_cfg.mean, det_dtype)
-            std = jnp.asarray(det_cfg.std, det_dtype)
-            x = (x * jnp.asarray(det_cfg.scale, det_dtype) - mean) / std
+            # normalize in f32, round to the compute dtype ONCE.  In bf16
+            # the (v*scale - mean)/std chain rounds differently per
+            # backend (XLA:CPU keeps f32 through the elementwise fusion
+            # and rounds at the end; the TPU rounds per op), landing the
+            # background on NEIGHBORING bf16 codes — a uniform 2^-7 DC
+            # shift the det model, trained on one exact background code,
+            # amplifies into logit swings of ±50 (r4 TPU-divergence
+            # post-mortem).  f32-normalize + single cast reproduces the
+            # training-time code on every backend; the elementwise f32 is
+            # VPU work, invisible next to the conv time.
+            mean = jnp.asarray(det_cfg.mean, jnp.float32)
+            std = jnp.asarray(det_cfg.std, jnp.float32)
+            x = (x.astype(jnp.float32) * jnp.asarray(det_cfg.scale, jnp.float32)
+                 - mean) / std
+            x = x.astype(det_dtype)
             # bucket padding carries EDGE-REPLICATED content (the resize
             # matrices extend the border pixel, and the upload planes are
             # themselves edge-padded) — a constant fill here would paint a

@@ -133,6 +133,8 @@ def eval_multiline(dp, rng, chars, n: int, batch: int = 16):
             continue
         pages.append(img)
         gts.append(texts)
+    import difflib
+
     for lo in range(0, len(pages), batch):
         out = dp.run_many(pages[lo : lo + batch])
         for res, texts in zip(out, gts[lo:]):
@@ -140,14 +142,23 @@ def eval_multiline(dp, rng, chars, n: int, batch: int = 16):
             stats["pages"] += 1
             stats["lines"] += len(texts)
             stats["det"] += min(len(got), len(texts))
-            ok = sum(g == t for g, t in zip(got, texts))
+            # align GT lines to predicted lines (det may emit extra or
+            # missing boxes; a naive zip shifts every subsequent line and
+            # under-reports rec — VERDICT r4 debugging)
+            sm = difflib.SequenceMatcher(a=texts, b=got, autojunk=False)
+            ok = sum(bl.size for bl in sm.get_matching_blocks())
             stats["rec"] += ok
             if ok == len(texts) and len(got) == len(texts):
                 stats["pages_all"] += 1
             else:
-                for g, t in zip(got, texts):
-                    if g != t:
-                        misses.append(("multiline", t, g))
+                matched_a = set()
+                for bl in sm.get_matching_blocks():
+                    matched_a.update(range(bl.a, bl.a + bl.size))
+                for i, t in enumerate(texts):
+                    if i not in matched_a:
+                        near = difflib.get_close_matches(t, got, 1, 0.3)
+                        misses.append(("multiline", t,
+                                       near[0] if near else ""))
     return stats, misses
 
 
