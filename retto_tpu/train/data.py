@@ -71,12 +71,27 @@ class RecDeviceData:
         )
 
 
-def gather_rec_batch(data: RecDeviceData, idx: jax.Array):
+def gather_rec_batch(data: RecDeviceData, idx: jax.Array,
+                     key: jax.Array | None = None,
+                     noise_sigma: float = 0.05):
     """[B] indices -> (x [B,3,H,W] f32 normalized+width-masked, labels,
     lengths).  Matches inference resize_norm semantics: content normalized
-    (v/255-0.5)/0.5, zero beyond the crop width (image_helper.rs:203-208)."""
+    (v/255-0.5)/0.5, zero beyond the crop width (image_helper.rs:203-208).
+
+    ``key`` enables per-crop photometric jitter (gain/bias + Gaussian
+    noise in normalized space) — low-contrast and noisy/JPEG crops are
+    what the held-out eval feeds the recognizer."""
     imgs = data.lines[idx].astype(jnp.float32)
     x = (imgs / 255.0 - 0.5) / 0.5
+    if key is not None:
+        kg, kb, kn, ka = jax.random.split(key, 4)
+        b = x.shape[0]
+        gain = jax.random.uniform(kg, (b, 1, 1, 1), minval=0.4, maxval=1.15)
+        bias = jax.random.uniform(kb, (b, 1, 1, 1), minval=-1.1, maxval=0.2)
+        bias = jnp.clip(bias, -0.6 - gain, 1.0 - gain)
+        noise = noise_sigma * jax.random.normal(kn, x.shape)
+        aug = jax.random.bernoulli(ka, 0.75, (b, 1, 1, 1))
+        x = jnp.where(aug, jnp.clip(x * gain + bias + noise, -1.0, 1.0), x)
     w = data.lines.shape[2]
     col = jnp.arange(w)[None, None, :, None]
     mask = col < data.widths[idx][:, None, None, None]
@@ -121,17 +136,23 @@ class ClsDeviceData:
 
 def gather_cls_batch(data: ClsDeviceData, idx: jax.Array, rot: jax.Array,
                      gain: jax.Array | None = None,
-                     bias: jax.Array | None = None):
+                     bias: jax.Array | None = None,
+                     key: jax.Array | None = None,
+                     noise_sigma: float = 0.05):
     """rot [B] in {0,1}: 1 = the stored 180-rotated orientation (the
     positive cls class).  Optional per-sample photometric jitter
-    (gain/bias, applied in normalized space) regularizes training."""
+    (gain/bias, applied in normalized space) regularizes training;
+    ``key`` adds per-pixel Gaussian noise on top (held-out noise/JPEG
+    condition)."""
     imgs = data.lines[idx, rot].astype(jnp.float32)
     w = data.lines.shape[3]
     widths = data.widths[idx]
     x = (imgs / 255.0 - 0.5) / 0.5
     if gain is not None:
-        x = jnp.clip(x * gain[:, None, None, None] + bias[:, None, None, None],
-                     -1.0, 1.0)
+        x = x * gain[:, None, None, None] + bias[:, None, None, None]
+        if key is not None:
+            x = x + noise_sigma * jax.random.normal(key, x.shape)
+        x = jnp.clip(x, -1.0, 1.0)
     col = jnp.arange(w)[None, None, :, None]
     x = jnp.where(col < widths[:, None, None, None], x, 0.0)
     return jnp.transpose(x, (0, 3, 1, 2)), rot
@@ -197,14 +218,33 @@ def db_gt_device(boxes: jax.Array, size_h: int, size_w: int, shrink_ratio: float
     return shrink, tmap, tmask
 
 
-def gather_det_batch(data: DetDeviceData, idx: jax.Array, out_stride: int = 1):
+def gather_det_batch(data: DetDeviceData, idx: jax.Array, out_stride: int = 1,
+                     key: jax.Array | None = None,
+                     noise_sigma: float = 0.06):
     """[B] indices -> (x [B,3,S,S] det-normalized BGR, gt_shrink, gt_mask,
     gt_thresh, gt_thresh_mask).  ``out_stride`` renders the GT maps at the
     model's output stride (models/dbnet.py DetModel.out_stride): the boxes
-    scale by 1/s and the grid shrinks by s — same geometry, fewer pixels."""
+    scale by 1/s and the grid shrinks by s — same geometry, fewer pixels.
+
+    ``key`` enables photometric augmentation in normalized space: per-page
+    gain/bias (covers gray-on-gray low-contrast pages AND the 1-ULP bf16
+    DC shifts different XLA backends produce — the r4 TPU divergence
+    showed a det trained on one exact background code amplifies a 2^-7
+    shift into logit swings of ±50) plus per-pixel Gaussian noise (the
+    noise/JPEG held-out condition)."""
     pages = data.pages[idx].astype(jnp.float32)
     bgr = pages[..., ::-1]
     x = (bgr / 255.0 - 0.5) / 0.5
+    if key is not None:
+        kg, kb, kn, ka = jax.random.split(key, 4)
+        b = x.shape[0]
+        gain = jax.random.uniform(kg, (b, 1, 1, 1), minval=0.35, maxval=1.15)
+        # bias keeps the (gained) white background inside [-0.6, 1.0]
+        bias = jax.random.uniform(kb, (b, 1, 1, 1), minval=-1.2, maxval=0.25)
+        bias = jnp.clip(bias, -0.6 - gain, 1.0 - gain)
+        noise = noise_sigma * jax.random.normal(kn, x.shape)
+        aug = jax.random.bernoulli(ka, 0.75, (b, 1, 1, 1))
+        x = jnp.where(aug, jnp.clip(x * gain + bias + noise, -1.0, 1.0), x)
     x = jnp.transpose(x, (0, 3, 1, 2))
     s_h, s_w = data.pages.shape[1], data.pages.shape[2]
     boxes = data.boxes[idx]

@@ -396,7 +396,9 @@ def render_page(
     usable = chars.chars[1:-1]
     boxes, texts = [], []
     n_lines = int(rng.integers(1, max_lines + 1))
-    y = int(rng.integers(4, 20))
+    # start anywhere in the upper 60% of the page (not pinned to the top:
+    # the held-out `offset` condition places single lines at arbitrary y)
+    y = int(rng.integers(4, max(20, int(h * 0.6))))
     for _ in range(n_lines):
         lh = int(rng.integers(lh_range[0], lh_range[1]))
         text = text_fn(rng) if text_fn else random_text(rng, usable, 10)
@@ -440,7 +442,8 @@ def render_page_natural(
     usable = chars.chars[1:-1]
     boxes, texts = [], []
     n_lines = int(rng.integers(1, max_lines + 1))
-    y = int(rng.integers(2, 16))
+    # start anywhere in the upper 60% (see render_page: held-out offset)
+    y = int(rng.integers(2, max(16, int(h * 0.6))))
     for _ in range(n_lines):
         size = int(rng.integers(size_range[0], size_range[1] + 1))
         font = default_font(size, int(rng.integers(0, len(_FONTS))))

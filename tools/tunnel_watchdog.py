@@ -31,13 +31,28 @@ LOG = Path("/tmp/watchdog.log")
 
 # (name, argv, timeout_s) — run in order; later jobs depend on earlier
 # checkpoints (eval reads trained_weights/, bench reads eval'd weights).
+# r4b cycle: photometric-augmented retrains (gain/bias/noise + JPEG
+# round-trips — the held-out conditions AND the bf16-ULP DC robustness
+# the TPU divergence post-mortem demands), then the full eval ladder.
 JOBS = [
+    ("train_det",
+     [sys.executable, "tools/train_synthetic.py", "det"], 3600),
+    # rec/cls read /tmp/synth_cache2, which a host-side `render` pass
+    # populates concurrently — block until it stamps rc= so a training
+    # job never reads a half-written npz
+    ("wait_render",
+     [sys.executable, "-c",
+      "import time, pathlib\n"
+      "p = pathlib.Path('/tmp/render_r4b.log')\n"
+      "while 'rc=' not in (p.read_text() if p.exists() else ''):\n"
+      "    time.sleep(30)\n"
+      "print(p.read_text().splitlines()[-1])"], 10800),
     ("train_rec",
-     [sys.executable, "tools/train_synthetic.py", "rec",
-      "--data-cache", "/tmp/synth_cache"], 5400),
+     [sys.executable, "tools/train_synthetic.py", "rec", "--steps", "30000",
+      "--data-cache", "/tmp/synth_cache2"], 5400),
     ("train_cls",
      [sys.executable, "tools/train_synthetic.py", "cls",
-      "--data-cache", "/tmp/synth_cache"], 3600),
+      "--data-cache", "/tmp/synth_cache2"], 3600),
     ("eval512",
      [sys.executable, "tools/eval_accuracy.py", "512", "--tpu"], 4500),
     ("eval_heldout",
