@@ -124,6 +124,8 @@ _CONFUSABLE_SETS = (
     "S5s",
     "Z2z",
     "gq9",
+    "L_tT",  # L vs underscore baseline stroke ('WELL' -> 'WEL__' r4 miss)
+    "EFTX",  # caps with shared stroke skeletons ('TEXT' -> 'TEX' tail drop)
 )
 _CONFUSABLE_WORDS = [
     w for w in _NATURAL_WORDS if any(c in w for c in "lIiyvuw")
@@ -164,6 +166,10 @@ def il_contrast_word(rng: np.random.Generator) -> str:
         j = pos[int(rng.integers(0, len(pos)))]
         sub = "l" if w[j] == "I" else "I"
         w = w[:j] + sub + w[j + 1:]
+    # ALL-CAPS trailing-LL forms ('WELL', 'WILL') were an r4 miss mode
+    # ('WEL__', 'WIL_lL') never emitted by the lowercase-only list
+    if rng.random() < 0.25:
+        w = w.upper()
     return w
 
 
