@@ -356,7 +356,15 @@ class DevicePipeline:
                                        replicate_out=True)
                 ydet = _resize2(wh, ww, y.astype(det_dtype)[..., None])[..., 0]
                 uvdet = _resize2(wh2, ww2, uv.astype(det_dtype))
-                rgb_det = yuv_planes_to_rgb(ydet, uvdet[..., 0], uvdet[..., 1])
+                # YUV->RGB in f32: like the normalize below, a bf16
+                # elementwise chain rounds differently per backend
+                # (fusion-wide vs per-op) — keep contractions in bf16,
+                # absolute-placement elementwise in f32
+                rgb_det = yuv_planes_to_rgb(
+                    ydet.astype(jnp.float32),
+                    uvdet[..., 0].astype(jnp.float32),
+                    uvdet[..., 1].astype(jnp.float32),
+                )
                 rgb_full = yuv420_to_rgb_device(y, uv)
                 rgb_u8 = jnp.clip(jnp.rint(rgb_full), 0, 255).astype(jnp.uint8)
             elif fmt == "gray":

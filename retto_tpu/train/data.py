@@ -236,15 +236,21 @@ def gather_det_batch(data: DetDeviceData, idx: jax.Array, out_stride: int = 1,
     bgr = pages[..., ::-1]
     x = (bgr / 255.0 - 0.5) / 0.5
     if key is not None:
-        kg, kb, kn, ka = jax.random.split(key, 4)
+        kg, kb, kn, ka, kt = jax.random.split(key, 5)
         b = x.shape[0]
         gain = jax.random.uniform(kg, (b, 1, 1, 1), minval=0.35, maxval=1.15)
         # bias keeps the (gained) white background inside [-0.6, 1.0]
         bias = jax.random.uniform(kb, (b, 1, 1, 1), minval=-1.2, maxval=0.25)
         bias = jnp.clip(bias, -0.6 - gain, 1.0 - gain)
+        # per-channel tint: a (250,252,255)-style background is a
+        # per-CHANNEL DC shift no grayscale gain/bias covers — the r4
+        # CPU repro showed the det firing on a 3/255 tint
+        tint = jax.random.uniform(kt, (b, 1, 1, 3), minval=-0.06,
+                                  maxval=0.06)
         noise = noise_sigma * jax.random.normal(kn, x.shape)
         aug = jax.random.bernoulli(ka, 0.75, (b, 1, 1, 1))
-        x = jnp.where(aug, jnp.clip(x * gain + bias + noise, -1.0, 1.0), x)
+        x = jnp.where(
+            aug, jnp.clip(x * gain + bias + tint + noise, -1.0, 1.0), x)
     x = jnp.transpose(x, (0, 3, 1, 2))
     s_h, s_w = data.pages.shape[1], data.pages.shape[2]
     boxes = data.boxes[idx]
