@@ -13,6 +13,8 @@ session.rs:186-255 synthesizes its fixtures the same way we do):
 * offset       — random text position on the page
 * contrast     — gray-on-gray, fg/bg luminance gap 60-120 (training: 255)
 * noise_jpeg   — Gaussian noise (sigma 6) + JPEG quality 45 round trip
+* font_heldout — DejaVu Serif-Bold / Mono-Bold (faces excluded from
+                 synth._FONTS)
 * multiline    — 3-6-line pages at 480x640 (training det pages: <=4 lines
                  at 256x320; eval pages: single line)
 
@@ -50,6 +52,14 @@ def render_cond(
     w, h = 640, 200
     size, xy = 44, (30, 70)
     fg, bg = (0, 0, 0), (255, 255, 255)
+    font_path = FONT
+    if cond == "font_heldout":
+        # faces the trainer never renders (synth._FONTS holds Sans,
+        # Sans-Bold, Serif, Mono — these two Bold cuts are excluded)
+        font_path = rng.choice([
+            "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
+            "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf",
+        ])
     if cond == "size_small":
         size = int(rng.integers(20, 27))
     elif cond == "size_large":
@@ -61,7 +71,7 @@ def render_cond(
         bgl = int(rng.integers(140, 236))
         fgl = bgl - gap
         fg, bg = (fgl,) * 3, (bgl,) * 3
-    font = ImageFont.truetype(FONT, size)
+    font = ImageFont.truetype(font_path, size)
     img = Image.new("RGB", (w, h), bg)
     d = ImageDraw.Draw(img)
     d.text(xy, text, font=font, fill=fg)
@@ -169,7 +179,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     n = 64
     conds = ["size_small", "size_large", "offset", "contrast", "noise_jpeg",
-             "multiline"]
+             "font_heldout", "multiline"]
     for a in sys.argv[1:]:
         if a.isdigit():
             n = int(a)
