@@ -77,13 +77,20 @@ def main() -> None:
             total += len(texts)
             if len(got) == len(texts):
                 det_ok += len(texts)
-            page_ok = 0
-            for g, t in zip(got, texts):
-                if g == t:
-                    ok += 1
-                    page_ok += 1
-                else:
-                    misses.append((t, g))
+            # align (an extra/missing det box must not shift every later
+            # line — same fix as eval_heldout's multiline alignment)
+            import difflib
+
+            sm = difflib.SequenceMatcher(a=texts, b=got, autojunk=False)
+            page_ok = sum(bl.size for bl in sm.get_matching_blocks())
+            ok += page_ok
+            matched = set()
+            for bl in sm.get_matching_blocks():
+                matched.update(range(bl.a, bl.a + bl.size))
+            for i, t in enumerate(texts):
+                if i not in matched:
+                    near = difflib.get_close_matches(t, got, 1, 0.1)
+                    misses.append((t, near[0] if near else ""))
             if page_ok == len(texts) and len(got) == len(texts):
                 pages_all += 1
         print(f"[big-pipe] {min(lo + 12, len(pages))}/{len(pages)} pages: "
