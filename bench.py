@@ -341,7 +341,19 @@ def _probe_backend(timeout_s: float = 420.0) -> "str | None":
 
 
 def main() -> None:
-    probe_err = _probe_backend()
+    # the tunnel FLAPS in 3-10 min down-windows (r4 watchdog journal):
+    # one 420 s probe can land wholly inside an outage that clears a
+    # minute later, costing the round its driver capture.  Retry the
+    # probe over ~20 min before declaring the backend unreachable.
+    probe_err = None
+    for attempt in range(3):
+        probe_err = _probe_backend()
+        if probe_err is None:
+            break
+        if attempt < 2:
+            print(f"# probe attempt {attempt + 1} failed ({probe_err}); "
+                  "retrying in 120s", file=sys.stderr, flush=True)
+            time.sleep(120)
     if probe_err is not None:
         print(json.dumps({
             "metric": "det+cls+rec full-document images/sec/chip",
