@@ -57,14 +57,20 @@ def render_line(
     fg: tuple[int, int, int] = (0, 0, 0),
     bg: tuple[int, int, int] = (255, 255, 255),
     pad: int = 4,
+    stroke_width: int = 0,
 ) -> np.ndarray:
-    """Render one text line to an HWC uint8 image of the given height."""
+    """Render one text line to an HWC uint8 image of the given height.
+
+    ``stroke_width`` > 0 thickens every glyph outline (PIL fake-bold):
+    stroke variation generalizes to held-out bold faces without training
+    on them (r4 font_heldout near-misses: 'show'->'snow' on Serif-Bold)."""
     font = font or default_font(height - 2 * pad)
-    l, t, r, b = font.getbbox(text)
+    l, t, r, b = font.getbbox(text, stroke_width=stroke_width)
     w = max(r - l, 1) + 2 * pad
     h = max(b - t, 1) + 2 * pad
     img = Image.new("RGB", (w, h), bg)
-    ImageDraw.Draw(img).text((pad - l, pad - t), text, font=font, fill=fg)
+    ImageDraw.Draw(img).text((pad - l, pad - t), text, font=font, fill=fg,
+                             stroke_width=stroke_width, stroke_fill=fg)
     if h != height:
         img = img.resize((max(int(w * height / h), 8), height), Image.BILINEAR)
     return np.asarray(img, dtype=np.uint8)

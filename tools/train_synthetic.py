@@ -114,6 +114,8 @@ def render_rec_dataset(rng, n):
             text, REC_H,
             font=default_font(int(rng.integers(26, 44)), _fonts_cycle(rng)),
             fg=fg, bg=bg,
+            # stroke jitter: 20% fake-bold (held-out bold faces)
+            stroke_width=1 if rng.random() < 0.2 else 0,
         )
         if img.shape[1] > REC_W:
             # squash to the bucket width like resize_norm_image does at
