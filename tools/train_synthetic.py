@@ -436,6 +436,7 @@ def _render_cls_lines(rng, data_n):
             text, int(rng.integers(32, 49)),
             font=default_font(int(rng.integers(24, 44)), _fonts_cycle(rng)),
             fg=fg, bg=bg,
+            stroke_width=1 if rng.random() < 0.2 else 0,
         )
         # margin augmentation: det-box crops carry unclip margins around the
         # text (area*1.6/perimeter expansion) -- pad 0-45% of height per side
