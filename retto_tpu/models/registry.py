@@ -48,6 +48,12 @@ MODEL_PRESETS: dict[str, dict[str, dict[str, Any]]] = {
         "rec": dict(dims=(96, 192, 384, 768), depths=(3, 3, 6, 3),
                     mixer_dim=256, mixer_depth=4, num_heads=8),
     },
+    # "bare": no preset kwargs at all — for building a model from a
+    # checkpoint's SELF-DESCRIBED arch kwargs alone (session.py): merging
+    # them over a named preset breaks the moment the preset grows a field
+    # the checkpoint era didn't have (r4: mobile gained backbone="tpu_v2"
+    # and cls arch="dense", which leaked into tiny-checkpoint builds)
+    "bare": {"det": {}, "cls": {}, "rec": {}},
 }
 
 

@@ -153,13 +153,24 @@ class RettoSession:
                         kk: tuple(vv) if isinstance(vv, list) else vv
                         for kk, vv in meta.get("overrides", {}).items()
                     }
-        ov = overrides.get
-        det_m = build_det(preset, compute_dtype=dtype, **ov("det", {}))
-        cls_m = build_cls(preset, compute_dtype=dtype, **ov("cls", {}))
-        rec_kw = dict(ov("rec", {}))
+        # a self-described checkpoint REPLACES the preset kwargs (the
+        # trainers store the full arch kwargs): merging over the named
+        # preset leaks fields the checkpoint's era didn't have (a tiny-v1
+        # det checkpoint must not inherit mobile's backbone="tpu_v2")
+        def pick(k):
+            if overrides.get(k):  # non-empty self-description only
+                return "bare", overrides[k]
+            return preset, {}
+
+        p, kw = pick("det")
+        det_m = build_det(p, compute_dtype=dtype, **kw)
+        p, kw = pick("cls")
+        cls_m = build_cls(p, compute_dtype=dtype, **kw)
+        p, rec_kw = pick("rec")
+        rec_kw = dict(rec_kw)
         rec_kw.pop("num_classes", None)  # the charset governs the head
         rec_m = build_rec(
-            preset, num_classes=self.chars.num_classes, compute_dtype=dtype,
+            p, num_classes=self.chars.num_classes, compute_dtype=dtype,
             **rec_kw,
         )
         if not weights:

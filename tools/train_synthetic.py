@@ -348,8 +348,11 @@ def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0,
     print("[rec] samples:", list(zip(preds[:5], eval_texts[:5])))
     # save FIRST: the spot check below must not be able to cost a finished
     # training run its checkpoint
+    from retto_tpu.models import MODEL_PRESETS as _MP
+
     save_params(OUT / "rec.npz", {"params": best, "batch_stats": state.batch_stats},
-                meta={"preset": "mobile", "overrides": {}})
+                meta={"preset": "mobile",
+                      "overrides": dict(_MP["mobile"]["rec"])})
     (OUT / "charset.txt").write_text("\n".join(CHARS.chars[1:-1]), encoding="utf-8")
 
     # narrow-width spot check (the multi-width pad-robustness target):
