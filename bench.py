@@ -170,8 +170,17 @@ def bench_full_pipeline(weights_dir: Path) -> dict:
 
 
 def bench_streaming(weights_dir: Path) -> dict:
-    """BASELINE config 5: sustained streaming over mixed-size pages."""
+    """BASELINE config 5: sustained streaming over mixed-size pages.
+
+    r5 protocol (VERDICT r4 item 1 — the r4 capture collapsed 31x because
+    warmup ran only ``run_many`` while the stream path reaches device
+    concat/pad + combined-bucket shapes run_many never compiles, so cold
+    remote compiles landed INSIDE the timed region): warm the ACTUAL
+    stream path over the same batch sequence, reset metrics so the
+    reported occupancy is stream-only, and sample the pipeline's jit
+    cache around the timed region to prove zero compiles inside it."""
     from retto_tpu.train.synth import render_page
+    from retto_tpu.utils.metrics import PipelineMetrics
 
     session = _build_session(weights_dir)
     dp = session.device_pipeline()
@@ -183,16 +192,18 @@ def bench_streaming(weights_dir: Path) -> dict:
         for _ in range(6)
         for (h, w) in sizes
     ]
-    # two MIXED-size batches of 12 (cross-bucket batching is the config-5
-    # shape); warm BOTH so every (bucket, batch, width) combo is compiled
-    # before the timed region
     batches = [pages[:12], pages[12:]]
-    for b in batches:
-        dp.run_many(b)
-        dp.run_many(b)
-    # sustained streaming: DevicePipeline.stream overlaps batch i+1's
-    # decode/uploads with batch i's postprocess tail
     stream_in = [b for _ in range(3) for b in batches]
+    # warm with TWO full throwaway streams: the first compiles every
+    # (det bucket, pad/concat arity, rec bucket, width) combo the timed
+    # region will hit; the second catches any stragglers and confirms
+    # steady state
+    for _ in dp.stream(stream_in):
+        pass
+    for _ in dp.stream(stream_in):
+        pass
+    dp.metrics = PipelineMetrics()
+    compiles0 = dp.compile_count()
     t0 = time.perf_counter()
     total = 0
     crops = 0
@@ -205,6 +216,37 @@ def bench_streaming(weights_dir: Path) -> dict:
         "config5_stream_imgs_per_sec": round(total / dt, 2),
         "config5_crops_per_sec": round(crops / dt, 1),
         "config5_bucket_occupancy": occ,
+        "config5_compiles_in_timed_region": dp.compile_count() - compiles0,
+    }
+
+
+def capture_quality() -> dict:
+    """Link-quality fingerprint measured around the timed benches: the
+    tunnel's RTT/bandwidth vary by multiples run to run (CLAUDE.md), so a
+    degraded capture window must be distinguishable from a regression in
+    the artifact itself (VERDICT r4 item 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(jnp.zeros(()) + 1)
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+    buf = np.random.default_rng(0).integers(0, 255, (8 << 20,), np.uint8)
+    t0 = time.perf_counter()
+    x = jax.device_put(buf)
+    np.asarray(x[-1])
+    up_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(x)
+    down_s = time.perf_counter() - t0
+    return {
+        "rtt_ms": round(rtt * 1000, 1),
+        "up_mbps": round(8.0 / max(up_s - rtt, 1e-6), 1),
+        "down_mbps": round(8.0 / max(down_s - rtt, 1e-6), 1),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
 
 
@@ -363,7 +405,12 @@ def main() -> None:
         return
     weights_dir = Path(__file__).parent / "trained_weights"
     if (weights_dir / "rec.npz").exists() and (weights_dir / "det.npz").exists():
+        try:
+            cq = {"pre": capture_quality()}
+        except Exception as e:  # noqa: BLE001 - probe must not kill bench
+            cq = {"pre_error": str(e)}
         result = bench_full_pipeline(weights_dir)
+        result["capture_quality"] = cq
         try:
             rec = bench_rec_only()
             result["config2_rec_crops_per_sec"] = rec["value"]
@@ -381,6 +428,10 @@ def main() -> None:
             result.update(bench_device_ceiling(weights_dir))
         except Exception as e:  # noqa: BLE001
             result["config6_error"] = str(e)
+        try:
+            cq["post"] = capture_quality()
+        except Exception as e:  # noqa: BLE001
+            cq["post_error"] = str(e)
     else:
         result = bench_rec_only()
     print(json.dumps(result))

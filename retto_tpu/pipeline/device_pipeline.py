@@ -283,13 +283,36 @@ class DevicePipeline:
         # device->host fetches are I/O waits over the tunnel; parking them
         # on threads lets them overlap the main thread's contour tracing
         self._fetch_pool = ThreadPoolExecutor(max_workers=2)
-        # device concat for cross-chunk crop accumulation (same upload
-        # shape): compiles once per (count x shape) combo; under a mesh
-        # the concatenated tensors feed row gathers, so keep them
-        # replicated like the per-chunk rgb
+        # device concat for cross-chunk crop accumulation: compiles once
+        # per (count x shape) combo; under a mesh the concatenated tensors
+        # feed row gathers, so keep them replicated like the per-chunk rgb
+        _shard_kw = (
+            {"out_shardings": self._replicated} if mesh is not None else {}
+        )
         self._concat_dev = jax.jit(
-            lambda *xs: jnp.concatenate(xs, axis=0),
-            **({"out_shardings": self._replicated} if mesh is not None else {}),
+            lambda *xs: jnp.concatenate(xs, axis=0), **_shard_kw
+        )
+
+        # pad-to-common-shape + concat for CROSS-UPLOAD-SHAPE accumulation
+        # (r5: keying accumulators by upload shape split mixed-size streams
+        # across 3+ perpetually-underfull buckets — rec_batch occupancy
+        # pinned at ~0.52, VERDICT r4 item 1).  The pad is pure device-side
+        # HBM traffic (no link bytes); edge mode so no synthetic content
+        # transition enters the warp's sampling reach.  valids_src already
+        # carries per-image valid extents, so warps are unaffected.
+        def _pad_concat(th, tw, *xs):
+            outs = []
+            for x in xs:
+                ph, pw = th - x.shape[1], tw - x.shape[2]
+                if ph or pw:
+                    x = jnp.pad(
+                        x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge"
+                    )
+                outs.append(x)
+            return jnp.concatenate(outs, axis=0)
+
+        self._pad_concat = jax.jit(
+            _pad_concat, static_argnums=(0, 1), **_shard_kw
         )
         self._build_jits()
 
@@ -952,11 +975,36 @@ class DevicePipeline:
         if len(a["chunks"]) == 1:
             rgb, vs = a["chunks"][0]
         else:
-            rgb = self._concat_dev(*[c[0] for c in a["chunks"]])
+            hs = [int(c[0].shape[1]) for c in a["chunks"]]
+            ws = [int(c[0].shape[2]) for c in a["chunks"]]
+            if len(set(hs)) == 1 and len(set(ws)) == 1:
+                rgb = self._concat_dev(*[c[0] for c in a["chunks"]])
+            else:
+                # mixed upload shapes: device-pad each chunk to the max
+                # extent, then concat — one accumulator serves the whole
+                # mixed-size stream (see _pad_concat in __init__)
+                rgb = self._pad_concat(
+                    max(hs), max(ws), *[c[0] for c in a["chunks"]]
+                )
             vs = self._concat_dev(*[c[1] for c in a["chunks"]])
         handles.extend(
             self._dispatch_clsrec(rgb, vs, a["crops"], a["stats"])
         )
+
+    def compile_count(self) -> int:
+        """Total jit-cache entries across this pipeline's compiled
+        functions.  bench.py samples it around the timed region to PROVE
+        no compilation happened inside (a single cold remote compile over
+        the tunnel costs 2 s-minutes — the r4 config5 31x collapse,
+        VERDICT r4 item 1)."""
+        n = 0
+        for f in (self._det_fwd, self._clsrec_fwd, self._concat_dev,
+                  self._pad_concat):
+            try:
+                n += f._cache_size()
+            except Exception:  # noqa: BLE001 - private API; jax-version drift
+                pass
+        return n
 
     def _finish_det(
         self, state: dict, acc: dict, handles: list, stage_callback=None
@@ -1075,7 +1123,11 @@ class DevicePipeline:
                     ))
             chunk_crops = [c for i in ch.idxs for c in imgs[i].crops]
             if chunk_crops:
-                key = (ch.key[0], ch.key[1], ch.key[4])  # (hp, wp, fmt)
+                # key by CHANNEL COUNT only: chunks of different upload
+                # shapes merge into one accumulator via device pad+concat
+                # (_flush_acc); gray (1-ch) and color (3-ch) tensors
+                # cannot concat, so they keep separate accumulators
+                key = (int(ch.rgb.shape[-1]),)
                 a = acc.setdefault(key, {"chunks": [], "crops": [], "rows": 0})
                 a["stats"] = stats  # dispatches bill the flushing batch
                 base = a["rows"]
