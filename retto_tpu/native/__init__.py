@@ -117,6 +117,12 @@ def _load() -> ctypes.CDLL | None:
     lib.rt_pack_gray.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
     ]
+    if hasattr(lib, "rt_pack_auto"):  # stale cached .so from an older src
+        lib.rt_pack_auto.restype = ctypes.c_int
+        lib.rt_pack_auto.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, u8p,
+        ]
     _LIB = lib
     return lib
 
@@ -334,6 +340,34 @@ def pack_gray_native(img: np.ndarray, hp: int, wp: int) -> np.ndarray | None:
     lib.rt_pack_gray(img.ctypes.data_as(u8p), h, w, hp, wp,
                      out.ctypes.data_as(u8p))
     return out
+
+
+def pack_auto_native(
+    img: np.ndarray, hp: int, wp: int
+) -> tuple[bool, np.ndarray, np.ndarray] | None:
+    """Grayness probe + YUV 4:2:0 pack fused into ONE read of the source
+    (the decode hot path previously scanned the image twice).  Returns
+    (is_gray, y, uv): if is_gray, ``y`` is the lossless 1 B/px gray plane
+    (Y of R==G==B is bit-exactly the channel value) and ``uv`` should be
+    discarded; else (y, uv) is the standard YUV 4:2:0 transfer.  None
+    without a compiler or on odd-padded extents."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rt_pack_auto"):
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    if c != 3 or hp % 2 or wp % 2:
+        return None
+    y = np.empty((hp, wp), np.uint8)
+    uv = np.empty((hp // 2, wp // 2, 2), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.rt_pack_auto(
+        img.ctypes.data_as(u8p), h, w, hp, wp,
+        y.ctypes.data_as(u8p), uv.ctypes.data_as(u8p),
+    )
+    if rc < 0:
+        return None
+    return bool(rc), y, uv
 
 
 def is_gray_native(img: np.ndarray) -> bool | None:

@@ -812,4 +812,123 @@ int rt_pack_gray(const uint8_t* rgb, int h, int w, int hp, int wp,
   return 0;
 }
 
+// rt_pack_yuv420 + rt_is_gray fused into ONE read of the source image
+// (the decode hot path previously scanned the image twice: a full-image
+// grayness probe, then the pack).  Packs Y + UV unconditionally while
+// OR-accumulating per-pixel channel differences; returns 1 if the image
+// is truly grayscale — in which case y_out IS the lossless gray plane
+// (for R==G==B, BT.601 luma (19595+38470+7471)v = 65536 v, so
+// (65536 v + 0x8000) >> 16 == v bit-exactly) and uv_out can be discarded
+// — else 0 (send y_out + uv_out as YUV 4:2:0).  -1 on odd hp/wp.
+int rt_pack_auto(const uint8_t* rgb, int h, int w, int hp, int wp,
+                 uint8_t* y_out, uint8_t* uv_out) {
+  if (hp % 2 || wp % 2) return -1;
+  int wp2 = wp / 2;
+  std::vector<int32_t> rsum(wp2), gsum(wp2), bsum(wp2);
+  uint8_t diff = 0;
+  // valid rows, in 2-row blocks: probe each block's grayness with a pure
+  // XOR sweep (no clamps — vectorizes; the data stays in cache for the
+  // pack sweep that follows), then take the cheap channel-0 path for gray
+  // blocks and the luma+chroma path only where color actually exists
+  for (int yy = 0; yy < h; yy += 2) {
+    int rows = std::min(2, h - yy);
+    uint8_t bdiff = 0;
+    for (int dy = 0; dy < rows; dy++) {
+      const uint8_t* row = rgb + (size_t)(yy + dy) * w * 3;
+      uint8_t d = 0;
+      for (int x = 0; x < w; x++) {
+        const uint8_t* p = row + (size_t)x * 3;
+        d |= (uint8_t)((p[0] ^ p[1]) | (p[1] ^ p[2]));
+      }
+      bdiff |= d;
+    }
+    diff |= bdiff;
+    uint8_t* uvrow = uv_out + (size_t)(yy / 2) * wp2 * 2;
+    if (bdiff == 0) {
+      // gray block: Y is bit-exactly channel 0 (BT.601 weights sum to
+      // 65536) and chroma is exactly 128 — skip the luma math entirely
+      for (int dy = 0; dy < rows; dy++) {
+        const uint8_t* row = rgb + (size_t)(yy + dy) * w * 3;
+        uint8_t* yrow = y_out + (size_t)(yy + dy) * wp;
+        for (int x = 0; x < w; x++) yrow[x] = row[(size_t)x * 3];
+        std::memset(yrow + w, yrow[w - 1], wp - w);
+      }
+      std::memset(uvrow, 128, (size_t)wp2 * 2);
+    } else {
+      std::fill(rsum.begin(), rsum.end(), 0);
+      std::fill(gsum.begin(), gsum.end(), 0);
+      std::fill(bsum.begin(), bsum.end(), 0);
+      for (int dy = 0; dy < 2; dy++) {
+        int sy = std::min(yy + dy, h - 1);
+        const uint8_t* row = rgb + (size_t)sy * w * 3;
+        uint8_t* yrow = y_out + (size_t)(yy + dy) * wp;
+        for (int x = 0; x < w; x++) {
+          const uint8_t* p = row + (size_t)x * 3;
+          int r = p[0], g = p[1], b = p[2];
+          yrow[x] =
+              (uint8_t)((19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16);
+          rsum[x >> 1] += r;
+          gsum[x >> 1] += g;
+          bsum[x >> 1] += b;
+        }
+        // right edge replicates the last valid pixel
+        int r = row[(size_t)(w - 1) * 3], g = row[(size_t)(w - 1) * 3 + 1],
+            b = row[(size_t)(w - 1) * 3 + 2];
+        std::memset(yrow + w, yrow[w - 1], wp - w);
+        for (int x = w; x < wp; x++) {
+          rsum[x >> 1] += r;
+          gsum[x >> 1] += g;
+          bsum[x >> 1] += b;
+        }
+      }
+      for (int cx = 0; cx < wp2; cx++) {
+        double r = (rsum[cx] + 2) >> 2, g = (gsum[cx] + 2) >> 2,
+               b = (bsum[cx] + 2) >> 2;
+        double cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0;
+        double cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0;
+        uvrow[cx * 2] = (uint8_t)std::clamp((int)std::lround(cb), 0, 255);
+        uvrow[cx * 2 + 1] = (uint8_t)std::clamp((int)std::lround(cr), 0, 255);
+      }
+    }
+  }
+  // rows beyond the valid extent replicate row h-1: copy the already-
+  // computed output rows instead of recomputing them (row h may already
+  // hold the color-branch's clamped write — identical bytes either way)
+  for (int yy = h; yy < hp; yy++)
+    std::memcpy(y_out + (size_t)yy * wp, y_out + (size_t)(h - 1) * wp, wp);
+  // padded chroma blocks are (row h-1, row h-1).  For odd h the last
+  // valid block already clamped to exactly that pair; for even h compute
+  // the replicated-row chroma once, then copy it down
+  int cy0 = (h + 1) / 2;
+  if (cy0 < hp / 2 && h % 2 == 0) {
+    const uint8_t* row = rgb + (size_t)(h - 1) * w * 3;
+    uint8_t* uvrow = uv_out + (size_t)cy0 * wp2 * 2;
+    uint8_t d = 0;
+    for (int x = 0; x < w; x++) {
+      const uint8_t* p = row + (size_t)x * 3;
+      d |= (uint8_t)((p[0] ^ p[1]) | (p[1] ^ p[2]));
+    }
+    if (d == 0) {
+      std::memset(uvrow, 128, (size_t)wp2 * 2);
+    } else {
+      for (int cx = 0; cx < wp2; cx++) {
+        int x0 = std::min(cx * 2, w - 1), x1 = std::min(cx * 2 + 1, w - 1);
+        const uint8_t *p0 = row + (size_t)x0 * 3, *p1 = row + (size_t)x1 * 3;
+        double r = ((p0[0] + p1[0]) * 2 + 2) >> 2,
+               g = ((p0[1] + p1[1]) * 2 + 2) >> 2,
+               b = ((p0[2] + p1[2]) * 2 + 2) >> 2;
+        double cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0;
+        double cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0;
+        uvrow[cx * 2] = (uint8_t)std::clamp((int)std::lround(cb), 0, 255);
+        uvrow[cx * 2 + 1] = (uint8_t)std::clamp((int)std::lround(cr), 0, 255);
+      }
+    }
+    cy0++;
+  }
+  for (int cy = cy0; cy < hp / 2; cy++)
+    std::memcpy(uv_out + (size_t)cy * wp2 * 2,
+                uv_out + (size_t)(cy0 - 1) * wp2 * 2, (size_t)wp2 * 2);
+  return diff == 0 ? 1 : 0;
+}
+
 }  // extern "C"

@@ -733,33 +733,44 @@ class DevicePipeline:
         if self.transfer == "yuv420":
             # truly grayscale input -> a single luma plane (1 B/px) is a
             # LOSSLESS transfer (Y of R=G=B=v is v; chroma is constant
-            # 128); checked pre-pad so gray images pad one plane, not 3
+            # 128); probed + packed in ONE C read of the source
+            # (rt_pack_auto — the separate is_gray + pack passes doubled
+            # the decode floor on this 1-core host)
             from ..native import (
                 is_gray_native,
+                pack_auto_native,
                 pack_gray_native,
                 pack_yuv420_native,
             )
 
-            gray = is_gray_native(px)
-            if gray is None:  # no compiler: numpy fallback
-                gray = bool(
-                    (px[:, :, 0] == px[:, :, 1]).all()
-                    and (px[:, :, 1] == px[:, :, 2]).all()
-                )
-            if gray:
-                im.fmt = "gray"
-                # fused pad+extract in one C pass (host-floor work; the
-                # numpy path costs a strided copy + a pad copy)
-                plane = pack_gray_native(px, hp, wp)
-                if plane is None:
-                    plane = pad(np.ascontiguousarray(px[:, :, 0]))
-                planes = (plane,)
-            else:
-                im.fmt = "yuv420"
-                packed = pack_yuv420_native(px, hp, wp)
-                if packed is None:
-                    packed = rgb_to_yuv420(pad(px))
-                planes = packed
+            auto = pack_auto_native(px, hp, wp)
+            if auto is not None:
+                gray, y_plane, uv_plane = auto
+                if gray:
+                    im.fmt = "gray"
+                    planes = (y_plane,)
+                else:
+                    im.fmt = "yuv420"
+                    planes = (y_plane, uv_plane)
+            else:  # no compiler: two-pass numpy/C fallback
+                gray = is_gray_native(px)
+                if gray is None:
+                    gray = bool(
+                        (px[:, :, 0] == px[:, :, 1]).all()
+                        and (px[:, :, 1] == px[:, :, 2]).all()
+                    )
+                if gray:
+                    im.fmt = "gray"
+                    plane = pack_gray_native(px, hp, wp)
+                    if plane is None:
+                        plane = pad(np.ascontiguousarray(px[:, :, 0]))
+                    planes = (plane,)
+                else:
+                    im.fmt = "yuv420"
+                    packed = pack_yuv420_native(px, hp, wp)
+                    if packed is None:
+                        packed = rgb_to_yuv420(pad(px))
+                    planes = packed
         else:
             im.fmt = "rgb"
             planes = (pad(px),)

@@ -225,3 +225,56 @@ def test_pack_gray_parity():
         pytest.skip("no native backend")
     ref = np.pad(g[:, :, 0], ((0, 14), (0, 3)), mode="edge")
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pack_auto_color_matches_yuv420():
+    """rt_pack_auto on a color image == rt_pack_yuv420 bit-for-bit, and
+    flags is_gray False."""
+    from retto_tpu.native import pack_auto_native, pack_yuv420_native
+
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (94, 121, 3), np.uint8)
+    got = pack_auto_native(img, 128, 128)
+    if got is None:
+        pytest.skip("no native backend")
+    gray, y_a, uv_a = got
+    assert gray is False
+    y_r, uv_r = pack_yuv420_native(img, 128, 128)
+    np.testing.assert_array_equal(y_a, y_r)
+    np.testing.assert_array_equal(uv_a, uv_r)
+
+
+def test_pack_auto_gray_plane_lossless():
+    """rt_pack_auto on a truly-gray image flags is_gray and its Y plane is
+    bit-exactly the padded channel-0 plane (the lossless transfer
+    contract of the gray path)."""
+    from retto_tpu.native import pack_auto_native, pack_gray_native
+
+    rng = np.random.default_rng(34)
+    g = np.repeat(rng.integers(0, 256, (50, 62, 1), np.uint8), 3, axis=2)
+    got = pack_auto_native(g, 64, 64)
+    if got is None:
+        pytest.skip("no native backend")
+    gray, y_a, uv_a = got
+    assert gray is True
+    np.testing.assert_array_equal(y_a, pack_gray_native(g, 64, 64))
+    assert int(uv_a.min()) == 128 and int(uv_a.max()) == 128
+
+
+def test_pack_auto_mixed_rows_chroma_exact():
+    """A page that is gray in the top half and colored below must produce
+    the same chroma as the plain yuv pack (the gray-block memset(128)
+    short-circuit is exact, not approximate)."""
+    from retto_tpu.native import pack_auto_native, pack_yuv420_native
+
+    rng = np.random.default_rng(35)
+    img = np.repeat(rng.integers(0, 256, (40, 48, 1), np.uint8), 3, axis=2)
+    img[20:] = rng.integers(0, 256, (20, 48, 3), np.uint8)
+    got = pack_auto_native(img, 48, 48)
+    if got is None:
+        pytest.skip("no native backend")
+    gray, y_a, uv_a = got
+    assert gray is False
+    y_r, uv_r = pack_yuv420_native(img, 48, 48)
+    np.testing.assert_array_equal(y_a, y_r)
+    np.testing.assert_array_equal(uv_a, uv_r)
