@@ -326,6 +326,67 @@ def bench_device_ceiling(weights_dir: Path) -> dict:
     }
 
 
+def bench_server_e2e(weights_dir: Path) -> dict:
+    """BASELINE config 4 FOR REAL (VERDICT r4 item 6): server-preset
+    det+rec end-to-end at batch 32 on high-res (2000 px) scanned pages
+    through the fused DevicePipeline — not per-op smoke.  Uses the
+    synthetic-trained server checkpoints (tools/train_synthetic.py
+    --preset server); cls rides the mobile checkpoint (the reference has
+    no server cls, build.rs:7-12).  Skipped (error key) until the server
+    checkpoints are trained."""
+    from retto_tpu.config import SessionConfig
+    from retto_tpu.ops.charset import CharacterDict
+    from retto_tpu.pipeline.session import RettoSession
+    from retto_tpu.train.synth import render_page
+
+    det_w = weights_dir / "det_server.npz"
+    rec_w = weights_dir / "rec_server.npz"
+    if not (det_w.exists() and rec_w.exists()):
+        return {"config4_error": "server checkpoints not trained yet"}
+    chars = CharacterDict(
+        (weights_dir / "charset.txt").read_text().splitlines()
+    )
+    cfg = SessionConfig()
+    cfg.engine.transfer_format = "yuv420"
+    session = RettoSession(
+        cfg,
+        preset="server",
+        charset=chars,
+        weights={
+            "det": str(det_w),
+            "cls": str(weights_dir / "cls.npz"),
+            "rec": str(rec_w),
+        },
+    )
+    dp = session.device_pipeline()
+    rng = np.random.default_rng(4)
+    # 2000x1408 scan-like pages: above the det Min-736 limit, so det runs
+    # at native resolution (the server workload the config names)
+    pages = [
+        render_page(rng, session.chars, h=2000, w=1408, max_lines=14,
+                    lh_range=(32, 56))[0]
+        for _ in range(32)
+    ]
+    dp.run_many(pages)  # compile + warm the exact shapes
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = dp.run_many(pages)
+        rates.append(len(out) / (time.perf_counter() - t0))
+    lat = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        dp.run(pages[0])
+        lat.append(time.perf_counter() - t1)
+    return {
+        "config4_server_imgs_per_sec": round(max(rates), 2),
+        "config4_server_imgs_per_sec_median": round(
+            sorted(rates)[len(rates) // 2], 2
+        ),
+        "config4_server_p50_ms": round(sorted(lat)[len(lat) // 2] * 1000, 1),
+    }
+
+
 def bench_server_smoke() -> dict:
     """BASELINE config 4 smoke: server-preset det+rec compile + forward."""
     import jax
@@ -421,9 +482,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["config5_error"] = str(e)
         try:
-            result.update(bench_server_smoke())
+            result.update(bench_server_e2e(weights_dir))
         except Exception as e:  # noqa: BLE001
             result["config4_error"] = str(e)
+        try:
+            result.update(bench_server_smoke())
+        except Exception as e:  # noqa: BLE001
+            result["config4_smoke_error"] = str(e)
         try:
             result.update(bench_device_ceiling(weights_dir))
         except Exception as e:  # noqa: BLE001

@@ -229,31 +229,40 @@ def prepare_rec_data(data_n, seed, data_cache: "Path | None",
     return imgs, labels, lengths
 
 
+def _ckpt_name(kind: str, preset: str) -> str:
+    """mobile keeps the historical bare names (det.npz/rec.npz/cls.npz);
+    other tiers get a suffix (det_server.npz, ...) so BASELINE config 4
+    can train + load the server models beside the mobile suite."""
+    return f"{kind}.npz" if preset == "mobile" else f"{kind}_{preset}.npz"
+
+
 def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0,
-              data_cache: "Path | None" = None, warm_start: bool = False):
+              data_cache: "Path | None" = None, warm_start: bool = False,
+              preset: str = "mobile"):
     rng = np.random.default_rng(seed + 1009)
     imgs, labels, lengths = prepare_rec_data(data_n, seed, data_cache)
     data_n = len(imgs)
     data = RecDeviceData.build(imgs, labels, lengths, REC_W)
 
-    model = build_rec("mobile", num_classes=CHARS.num_classes, compute_dtype="bfloat16")
+    ckpt = _ckpt_name("rec", preset)
+    model = build_rec(preset, num_classes=CHARS.num_classes, compute_dtype="bfloat16")
     warm = min(200, max(steps // 10, 1))
     sched = optax.warmup_cosine_decay_schedule(0.0, lr, warm, max(steps, warm + 1))
     tx = optax.adamw(sched, weight_decay=1e-4)
     x0, _, _ = gather_rec_batch(data, jnp.arange(batch))
     state = init_train_state(model, tx, np.zeros((2, 3, REC_H, REC_W), np.float32))
-    if warm_start and (OUT / "rec.npz").exists():
+    if warm_start and (OUT / ckpt).exists():
         # fine-tune from the current checkpoint (CPU-fallback path while
         # the TPU tunnel is down; also fast targeted iteration on TPU) —
         # use a reduced lr when fine-tuning (caller's choice)
         from retto_tpu.weights import load_params
 
-        v = load_params(OUT / "rec.npz")
+        v = load_params(OUT / ckpt)
         state = TrainState(
             jax.device_put(v["params"]), state.opt_state,
             jax.device_put(v["batch_stats"]), state.step,
         )
-        print("[rec] warm start from trained_weights/rec.npz", flush=True)
+        print(f"[rec] warm start from trained_weights/{ckpt}", flush=True)
 
     def apply_logits(variables, x, train=False, mutable=None):
         kw = dict(train=train, return_logits=True)
@@ -350,9 +359,9 @@ def train_rec(steps=16000, batch=128, lr=1.2e-3, data_n=32768, seed=0,
     # training run its checkpoint
     from retto_tpu.models import MODEL_PRESETS as _MP
 
-    save_params(OUT / "rec.npz", {"params": best, "batch_stats": state.batch_stats},
-                meta={"preset": "mobile",
-                      "overrides": dict(_MP["mobile"]["rec"])})
+    save_params(OUT / ckpt, {"params": best, "batch_stats": state.batch_stats},
+                meta={"preset": preset,
+                      "overrides": dict(_MP[preset]["rec"])})
     (OUT / "charset.txt").write_text("\n".join(CHARS.chars[1:-1]), encoding="utf-8")
 
     # narrow-width spot check (the multi-width pad-robustness target):
@@ -785,12 +794,13 @@ def render_det_dataset(rng, n):
     return pages, boxes
 
 
-def train_det(steps=6000, batch=8, lr=8e-4, data_n=640, seed=2):
+def train_det(steps=6000, batch=8, lr=8e-4, data_n=640, seed=2,
+              preset: str = "mobile"):
     rng = np.random.default_rng(seed)
     print(f"[det] rendering {data_n} pages ...", flush=True)
     pages, boxes = render_det_dataset(rng, data_n)
     data = DetDeviceData.build(pages, boxes)
-    model = build_det("mobile", compute_dtype="bfloat16")
+    model = build_det(preset, compute_dtype="bfloat16")
     warm = min(200, max(steps // 10, 1))
     sched = optax.warmup_cosine_decay_schedule(0.0, lr, warm, max(steps, warm + 1))
     tx = optax.adamw(sched, weight_decay=1e-4)
@@ -829,9 +839,10 @@ def train_det(steps=6000, batch=8, lr=8e-4, data_n=640, seed=2):
     # (an old det.npz must keep building the arch it was trained as)
     from retto_tpu.models import MODEL_PRESETS
 
-    save_params(OUT / "det.npz", {"params": state.params, "batch_stats": state.batch_stats},
-                meta={"preset": "mobile",
-                      "overrides": dict(MODEL_PRESETS["mobile"]["det"])})
+    save_params(OUT / _ckpt_name("det", preset),
+                {"params": state.params, "batch_stats": state.batch_stats},
+                meta={"preset": preset,
+                      "overrides": dict(MODEL_PRESETS[preset]["det"])})
     # quick qualitative eval: mean prob inside/outside text on a fresh page
     img, bx, _ = render_page(rng, CHARS, DET_S, DET_S, lh_range=(24, 60))
     x = ((img[..., ::-1].astype(np.float32) / 255.0) - 0.5) / 0.5
@@ -876,6 +887,12 @@ def main():
                     help="pin jax to CPU (the harness sitecustomize pins "
                          "the axon TPU platform programmatically; use this "
                          "to e.g. run 'render' while the tunnel is down)")
+    ap.add_argument("--preset", default="mobile",
+                    help="model tier to train (mobile|server|tiny). Non-"
+                         "mobile checkpoints save with a suffix "
+                         "(det_server.npz) for BASELINE config 4; cls "
+                         "always trains mobile (the reference has no "
+                         "server cls, build.rs:7-12)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -900,12 +917,12 @@ def main():
         # modes (case pairs, y/v, m/n) that need more fresh-sample exposure;
         # device time is ~3 min, host render time dominates
         train_rec(steps=args.steps or int(24000 * s), data_n=int(49152 * s),
-                  data_cache=args.data_cache, **extra)
+                  data_cache=args.data_cache, preset=args.preset, **extra)
     if args.target in ("cls", "all"):
         train_cls(steps=args.steps or int(18000 * s),
                   data_cache=args.data_cache, **extra)
     if args.target in ("det", "all"):
-        train_det(steps=int(6000 * s))
+        train_det(steps=args.steps or int(6000 * s), preset=args.preset)
 
 
 if __name__ == "__main__":

@@ -60,8 +60,18 @@ JOBS = [
     ("eval_bigvocab",
      [sys.executable, "tools/eval_bigvocab_pipeline.py", "256", "--tpu"],
      2400),
+    # server tier (BASELINE config 4, VERDICT r4 item 6): efficiency
+    # checkpoints — enough training to produce real boxes/crops at scan
+    # resolution so the e2e number measures representative pipeline work
+    ("train_det_server",
+     [sys.executable, "tools/train_synthetic.py", "det",
+      "--preset", "server", "--steps", "4000"], 5400),
+    ("train_rec_server",
+     [sys.executable, "tools/train_synthetic.py", "rec",
+      "--preset", "server", "--steps", "16000",
+      "--data-cache", "/tmp/synth_cache2"], 7200),
     ("bench",
-     [sys.executable, "bench.py"], 2400),
+     [sys.executable, "bench.py"], 3600),
 ]
 
 PROBE_SRC = (
