@@ -326,14 +326,17 @@ def bench_device_ceiling(weights_dir: Path) -> dict:
     }
 
 
-def bench_server_e2e(weights_dir: Path) -> dict:
+def bench_server_e2e(weights_dir: Path, n_pages: int = 32,
+                     page_hw: tuple = (2000, 1408), iters: int = 3) -> dict:
     """BASELINE config 4 FOR REAL (VERDICT r4 item 6): server-preset
     det+rec end-to-end at batch 32 on high-res (2000 px) scanned pages
     through the fused DevicePipeline — not per-op smoke.  Uses the
     synthetic-trained server checkpoints (tools/train_synthetic.py
     --preset server); cls rides the mobile checkpoint (the reference has
     no server cls, build.rs:7-12).  Skipped (error key) until the server
-    checkpoints are trained."""
+    checkpoints are trained.  n_pages/page_hw/iters are parameterized so
+    the CPU test suite can prove this plumbing on tiny shapes
+    (tests/test_bench_paths.py) before the checkpoints ever exist."""
     from retto_tpu.config import SessionConfig
     from retto_tpu.ops.charset import CharacterDict
     from retto_tpu.pipeline.session import RettoSession
@@ -362,19 +365,21 @@ def bench_server_e2e(weights_dir: Path) -> dict:
     rng = np.random.default_rng(4)
     # 2000x1408 scan-like pages: above the det Min-736 limit, so det runs
     # at native resolution (the server workload the config names)
+    h, w = page_hw
     pages = [
-        render_page(rng, session.chars, h=2000, w=1408, max_lines=14,
-                    lh_range=(32, 56))[0]
-        for _ in range(32)
+        render_page(rng, session.chars, h=h, w=w,
+                    max_lines=max(2, 14 * h // 2000),
+                    lh_range=(32, 56) if h >= 1000 else (16, 24))[0]
+        for _ in range(n_pages)
     ]
     dp.run_many(pages)  # compile + warm the exact shapes
     rates = []
-    for _ in range(3):
+    for _ in range(iters):
         t0 = time.perf_counter()
         out = dp.run_many(pages)
         rates.append(len(out) / (time.perf_counter() - t0))
     lat = []
-    for _ in range(3):
+    for _ in range(iters):
         t1 = time.perf_counter()
         dp.run(pages[0])
         lat.append(time.perf_counter() - t1)
