@@ -26,6 +26,7 @@ __all__ = [
     "natural_text",
     "render_line",
     "render_page",
+    "downsample_2tap",
     "make_rec_batch",
     "make_cls_batch",
     "make_det_batch",
@@ -74,6 +75,31 @@ def render_line(
     if h != height:
         img = img.resize((max(int(w * height / h), 8), height), Image.BILINEAR)
     return np.asarray(img, dtype=np.uint8)
+
+
+def _bilinear_axis_2tap(src: int, dst: int) -> np.ndarray:
+    """[dst, src] 2-tap bilinear weights for p(d) = d * (src/dst) — the
+    same kernel ``image/warp.py::_axis_matrix`` applies on device.  Unlike
+    PIL's BILINEAR (which widens its support when downscaling, i.e.
+    anti-aliases), a fixed 2-tap downscale ALIASES: thin strokes lose ink
+    exactly the way the inference crop warp drops them."""
+    s = src / dst
+    d = np.arange(dst, dtype=np.float64)[:, None]
+    j = np.arange(src, dtype=np.float64)[None, :]
+    return np.maximum(0.0, 1.0 - np.abs(d * s - j)).astype(np.float32)
+
+
+def downsample_2tap(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Separable 2-tap bilinear resample to (out_h, out_w) — numerically
+    the device crop warp's kernel (see _bilinear_axis_2tap).  Used as a
+    resample-chain augmentation on direct line renders: a det-boxed line
+    of height H reaches rec as a 48-px warp of the SESSION-res page, so
+    training lines must carry the same 2-tap scaling blur/aliasing."""
+    wv = _bilinear_axis_2tap(img.shape[0], out_h)
+    wu = _bilinear_axis_2tap(img.shape[1], out_w)
+    t = np.einsum("dh,hwc->dwc", wv, img.astype(np.float32))
+    o = np.einsum("ew,dwc->dec", wu, t)
+    return np.clip(np.rint(o), 0, 255).astype(np.uint8)
 
 
 def normalize_crop(img: np.ndarray, h: int, w: int) -> np.ndarray:

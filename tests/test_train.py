@@ -254,3 +254,74 @@ class TestDatasetCache:
         (tmp_path / "d.npz").write_bytes(b"not an npz")
         i5, _ = _cached(tmp_path, "d", 11, render)
         assert len(calls) == 4 and len(i5) == 1
+
+
+class TestInferenceKernelCrops:
+    """r5: training crops must go through the SAME resample kernel the
+    DevicePipeline warp applies at inference (2-tap separable bilinear) —
+    the bicubic get_crop_img + second PIL resize chain left training
+    crops sharper than inference ever produces (I/l stem-height misses)."""
+
+    def test_warp_crops_like_inference_matches_device_kernel(self):
+        import math
+
+        from tools.train_synthetic import warp_crops_like_inference
+
+        from retto_tpu.image.io import ImageHelper
+        from retto_tpu.image.warp import warp_crops_separable
+        from retto_tpu.pipeline.device_pipeline import _aligned_scal
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (300, 500, 3), np.uint8)
+        ih = ImageHelper(img)
+        quads = [
+            np.array([[40.0, 50.0], [260.0, 50.0], [260.0, 95.0], [40.0, 95.0]]),
+            np.array([[0.0, 0.0], [100.0, 0.0], [100.0, 28.0], [0.0, 28.0]]),
+            # edge-clipped: samples past the right/bottom edge must fill
+            np.array([[350.0, 260.0], [499.0, 260.0], [499.0, 299.0], [350.0, 299.0]]),
+        ]
+        crops = warp_crops_like_inference(ih, quads)
+        for q, crop in zip(quads, crops):
+            h_c = q[3, 1] - q[0, 1]
+            w_c = q[1, 0] - q[0, 0]
+            natural = int(math.ceil(48 * max(w_c, 1) / max(h_c, 1)))
+            tw = max(min(natural, 512), 8)
+            assert crop.shape == (48, tw, 3)
+            scal = np.asarray([_aligned_scal(q, tw, 48, False)], np.float32)
+            ref = np.asarray(warp_crops_separable(
+                jnp.asarray(img)[None], jnp.zeros((1,), jnp.int32),
+                jnp.asarray(scal), jnp.asarray([[300, 500]], jnp.int32),
+                48, 512,
+            ))[0, :, :tw]
+            ref_u8 = np.clip(np.rint(ref), 0, 255).astype(np.uint8)
+            # f32 summation order differs -> at most 1 u8 code apart
+            assert np.abs(ref_u8.astype(int) - crop.astype(int)).max() <= 1
+
+    def test_warp_crops_skips_tall_boxes(self):
+        from tools.train_synthetic import warp_crops_like_inference
+
+        from retto_tpu.image.io import ImageHelper
+
+        img = np.full((200, 200, 3), 255, np.uint8)
+        tall = np.array([[10.0, 10.0], [40.0, 10.0], [40.0, 150.0], [10.0, 150.0]])
+        out = warp_crops_like_inference(ImageHelper(img), [tall])
+        assert out == [None]
+
+    def test_downsample_2tap_matches_axis_matrix(self):
+        from retto_tpu.image.warp import _axis_matrix
+        from retto_tpu.train.synth import downsample_2tap
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (96, 240, 3), np.uint8)
+        out = downsample_2tap(img, 48, 100)
+        wv, _ = _axis_matrix(jnp.zeros((1,)), jnp.full((1,), 96 / 48),
+                             96, 48, jnp.full((1,), 96.0))
+        wu, _ = _axis_matrix(jnp.zeros((1,)), jnp.full((1,), 240 / 100),
+                             240, 100, jnp.full((1,), 240.0))
+        t = jnp.einsum("dh,hwc->dwc", wv[0], jnp.asarray(img, jnp.float32))
+        ref = np.asarray(jnp.einsum("ew,dwc->dec", wu[0], t))
+        ref_u8 = np.clip(np.rint(ref), 0, 255).astype(np.uint8)
+        assert np.abs(ref_u8.astype(int) - out.astype(int)).max() <= 1
+        # constant image is preserved exactly (weights sum to 1 in-bounds)
+        const = np.full((72, 90, 3), 137, np.uint8)
+        assert np.all(downsample_2tap(const, 48, 60) == 137)

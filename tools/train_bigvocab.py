@@ -38,6 +38,7 @@ from retto_tpu.train.bigvocab import (
     big_charset,
     random_big_text,
     render_big_line,
+    render_big_page,
 )
 from retto_tpu.train.data import RecDeviceData, gather_rec_batch
 from retto_tpu.train.losses import ctc_loss
@@ -66,12 +67,89 @@ def render_dataset(rng: np.random.Generator, n: int):
     return imgs, np.asarray(labels), np.asarray(lengths), texts
 
 
+def render_big_pipeline_dataset(rng: np.random.Generator, n_pages: int,
+                                chars: CharacterDict):
+    """Big-vocab crops from the REAL det pipeline — the r3 fix that closed
+    the small-vocab rec's direct-render/pipeline gap, applied to the
+    6,625-class head (r5: the head read 100% on direct renders but 39.1%
+    through det->cls->rec, because det-box margins + the device warp's
+    resample blur were out of training distribution).  Mirrors
+    train_synthetic.render_rec_pipeline_dataset: render pseudo-glyph
+    pages, det-box them with the shipped det.npz, match boxes to ground
+    truth lines by center distance, crop via the session's own warp."""
+    from train_synthetic import warp_crops_like_inference
+
+    from retto_tpu.config import SessionConfig
+    from retto_tpu.image.io import ImageHelper
+    from retto_tpu.models import build_det
+    from retto_tpu.pipeline.engine import JaxEngine
+    from retto_tpu.pipeline.stages import DetStage
+    from retto_tpu.weights import load_params
+
+    cfg = SessionConfig()
+    det_m = build_det("mobile", compute_dtype="bfloat16")
+    eng = JaxEngine(det_model=det_m, det_params=load_params(OUT / "det.npz"))
+    stage = DetStage(cfg.det, cfg.buckets)
+
+    imgs, labels, lengths, texts = [], [], [], []
+    # fixed page-size set (one det bucket each — jit warms fast); includes
+    # the eval's own 480x640 regime plus small-min-side pages whose
+    # min-side-736 upscale blur is the hard case
+    _sizes = [(480, 640), (384, 512), (256, 320), (288, 704)]
+    for i in range(n_pages):
+        h, w = _sizes[int(rng.integers(0, len(_sizes)))]
+        lh_lo = int(rng.integers(28, 46))
+        img, gt_boxes, gt_texts = render_big_page(
+            rng, h, w, max_lines=4,
+            lh_range=(lh_lo, min(lh_lo + 22, 64)), max_len=8,
+        )
+        if not len(gt_boxes):
+            continue
+        ih = ImageHelper(img)
+        ih.resize_both(cfg.max_side_len, cfg.min_side_len)
+        ah, aw = ih.size()
+        sy, sx = ah / img.shape[0], aw / img.shape[1]
+        boxes, _ = stage(ih, eng)
+        centers_gt = np.stack(
+            [(gt_boxes[:, 0] + gt_boxes[:, 2]) / 2 * sx,
+             (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2 * sy], axis=1)
+        matched_boxes, matched_texts = [], []
+        for b in boxes:
+            c = (b[0] + b[2]) / 2.0
+            d = np.linalg.norm(centers_gt - c[None], axis=1)
+            j = int(d.argmin())
+            gt_h = (gt_boxes[j, 3] - gt_boxes[j, 1]) * sy
+            if d[j] > gt_h:
+                continue
+            matched_boxes.append(b)
+            matched_texts.append(gt_texts[j])
+        crops = (warp_crops_like_inference(ih, matched_boxes)
+                 if matched_boxes else [])
+        for crop, text in zip(crops, matched_texts):
+            if crop is None or crop.shape[0] < 8 or crop.shape[1] < 8:
+                continue
+            ids = chars.encode(text)[:MAX_LEN]
+            imgs.append(crop)
+            labels.append(ids + [0] * (MAX_LEN - len(ids)))
+            lengths.append(len(ids))
+            texts.append(text)
+        if (i + 1) % 200 == 0:
+            print(f"[big-pipe-render] {i+1} pages -> {len(imgs)} crops",
+                  flush=True)
+    return imgs, np.asarray(labels), np.asarray(lengths), texts
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=9000)
     ap.add_argument("--data-n", type=int, default=24576)
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--pipe-pages", type=int, default=1600,
+                    help="pages rendered through the REAL det pipeline for "
+                         "in-distribution crops (0 disables)")
+    ap.add_argument("--warm-start", action="store_true",
+                    help="fine-tune from trained_weights/rec_big.npz")
     args = ap.parse_args()
     OUT.mkdir(exist_ok=True)
 
@@ -80,7 +158,32 @@ def main() -> None:
           f"(reference dict scale, rec_processor.rs:37-45)", flush=True)
     rng = np.random.default_rng(7)
     print(f"[big] rendering {args.data_n} lines ...", flush=True)
-    imgs, labels, lengths, _ = render_dataset(rng, args.data_n)
+    from train_synthetic import _cached
+
+    cache = REPO / "trained_weights" / "data_cache"
+
+    def _render_lines():
+        im, la, ln, _ = render_dataset(rng, args.data_n)
+        return im, {"labels": la, "lengths": ln}
+
+    imgs, ex = _cached(cache, "big_lines", args.data_n, _render_lines)
+    labels, lengths = ex["labels"], ex["lengths"]
+    if args.pipe_pages and (OUT / "det.npz").exists():
+        rng_pipe = np.random.default_rng(7 + 501)
+
+        def _render_pipe():
+            print(f"[big] extracting pipeline crops from "
+                  f"{args.pipe_pages} pages ...", flush=True)
+            im, la, ln, _ = render_big_pipeline_dataset(
+                rng_pipe, args.pipe_pages, chars)
+            return im, {"labels": la, "lengths": ln}
+
+        pi, pex = _cached(cache, "big_pipe", args.pipe_pages, _render_pipe)
+        if len(pi):
+            imgs = imgs + pi
+            labels = np.concatenate([labels, pex["labels"]])
+            lengths = np.concatenate([lengths, pex["lengths"]])
+        print(f"[big] +{len(pi)} pipeline crops = {len(imgs)}", flush=True)
     data = RecDeviceData.build(imgs, labels, lengths, REC_W)
 
     model = build_rec("mobile", num_classes=chars.num_classes,
@@ -93,6 +196,15 @@ def main() -> None:
     state = init_train_state(
         model, tx, np.zeros((2, 3, REC_H, REC_W), np.float32)
     )
+    if args.warm_start and (OUT / "rec_big.npz").exists():
+        from retto_tpu.weights import load_params
+
+        v = load_params(OUT / "rec_big.npz")
+        state = TrainState(
+            jax.device_put(v["params"]), state.opt_state,
+            jax.device_put(v["batch_stats"]), state.step,
+        )
+        print("[big] warm start from trained_weights/rec_big.npz", flush=True)
 
     def apply_logits(variables, x, train=False, mutable=None):
         kw = dict(train=train, return_logits=True)

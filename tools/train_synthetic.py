@@ -50,6 +50,7 @@ from retto_tpu.train.synth import (
     cls_text,
     confusion_text,
     default_font,
+    downsample_2tap,
     natural_text,
     random_text,
     render_line,
@@ -110,13 +111,31 @@ def render_rec_dataset(rng, n):
             text = random_text(rng, usable, max_len)
         text = text[:max_len]
         fg, bg = ((255, 255, 255), (0, 0, 0)) if rng.random() < 0.3 else ((0, 0, 0), (255, 255, 255))
-        img = render_line(
-            text, REC_H,
-            font=default_font(int(rng.integers(26, 44)), _fonts_cycle(rng)),
-            fg=fg, bg=bg,
-            # stroke jitter: 20% fake-bold (held-out bold faces)
-            stroke_width=1 if rng.random() < 0.2 else 0,
-        )
+        sz = int(rng.integers(26, 44))
+        stroke = 1 if rng.random() < 0.2 else 0
+        if rng.random() < 0.4:
+            # resample-chain augmentation: render taller, then 2-tap
+            # bilinear downscale — the INFERENCE warp's kernel (a det-boxed
+            # line reaches rec as a single 2-tap warp of the session-res
+            # page; PIL's anti-aliased resize never reproduces its stroke
+            # aliasing, which is where the I/l stem-height cue degrades)
+            f = float(rng.uniform(1.3, 2.8))
+            img = render_line(
+                text, int(REC_H * f),
+                font=default_font(int(sz * f), _fonts_cycle(rng)),
+                fg=fg, bg=bg, stroke_width=stroke,
+            )
+            img = downsample_2tap(
+                img, REC_H, max(int(round(img.shape[1] / f)), 8)
+            )
+        else:
+            img = render_line(
+                text, REC_H,
+                font=default_font(sz, _fonts_cycle(rng)),
+                fg=fg, bg=bg,
+                # stroke jitter: 20% fake-bold (held-out bold faces)
+                stroke_width=stroke,
+            )
         if img.shape[1] > REC_W:
             # squash to the bucket width like resize_norm_image does at
             # inference (resized_w = min(target, natural) -> horizontal
@@ -665,13 +684,71 @@ def render_cls_pipeline_dataset(rng, n_pages=1600):
     return crops
 
 
+def warp_crops_like_inference(ih, boxes, rec_h=REC_H, rec_w=REC_W):
+    """Warp det boxes to rec crops through the SAME separable bilinear
+    kernel DevicePipeline uses at inference (_aligned_scal geometry +
+    warp_crops_separable, device_pipeline.py:1404-1412).
+
+    Training crops previously took host bicubic ``get_crop_img`` THEN a
+    second PIL resize to 48 px — two resamples with a sharper kernel than
+    the single bilinear pass inference performs.  The r5 n=512 residual
+    misses are I/l stem-HEIGHT confusions ('Will'->'WiIl', 'TIME'->'TlME'):
+    exactly the cue that extra sharpness preserves in training and the
+    bilinear warp blurs at inference.  Extracting through the inference
+    kernel removes the mismatch.
+
+    Pure numpy (same math as ``_axis_matrix``; source rows/cols sliced to
+    the sampled band) so extraction costs no tunnel round trips and no
+    compiles.  Returns a list of [48, tw_i, 3] u8 crops (one per box; tall
+    rotate-crops are skipped — returns None at that position)."""
+    import math
+
+    from retto_tpu.geometry import PointBox
+    from retto_tpu.image.warp import crop_output_size
+    from retto_tpu.pipeline.device_pipeline import _aligned_scal
+
+    def _axis_np(o, s, src, dst):
+        d = np.arange(dst, dtype=np.float64)[:, None]
+        j = np.arange(src, dtype=np.float64)[None, :]
+        w = np.maximum(0.0, 1.0 - np.abs(o + d * s - j))
+        return w.astype(np.float32), w.sum(axis=1).astype(np.float32)
+
+    img = ih.img
+    ah, aw = ih.size()
+    out = []
+    for b in boxes:
+        q = np.asarray(b, np.float64)
+        h_c, w_c, rot = crop_output_size(PointBox(q))
+        if rot:
+            out.append(None)
+            continue
+        natural = int(math.ceil(rec_h * w_c / h_c))
+        tw = max(min(natural, rec_w), 8)
+        ox, sx, oy, sy = _aligned_scal(q, tw, rec_h, False)
+        y0 = max(int(math.floor(oy)), 0)
+        y1 = min(int(math.ceil(oy + (rec_h - 1) * sy)) + 2, ah)
+        x0 = max(int(math.floor(ox)), 0)
+        x1 = min(int(math.ceil(ox + (tw - 1) * sx)) + 2, aw)
+        if y1 <= y0 or x1 <= x0:
+            out.append(None)
+            continue
+        wv, mv = _axis_np(oy - y0, sy, y1 - y0, rec_h)
+        wu, mu = _axis_np(ox - x0, sx, x1 - x0, tw)
+        sub = img[y0:y1, x0:x1].astype(np.float32)
+        t = np.einsum("dh,hwc->dwc", wv, sub)
+        o = np.einsum("ew,dwc->dec", wu, t)
+        mass = mv[:, None] * mu[None, :]
+        o = o + (1.0 - mass)[..., None] * 255.0
+        out.append(np.clip(np.rint(o), 0, 255).astype(np.uint8))
+    return out
+
+
 def render_rec_pipeline_dataset(rng, n_pages=2400, max_len=16):
     """Rec training crops from the REAL det pipeline: det boxes are matched
     to ground-truth line boxes by IoU-of-centers so each crop carries its
     true text — rec trains on exactly the crops (margins, warp resampling,
     blur) it will see at inference."""
     from retto_tpu.config import SessionConfig
-    from retto_tpu.geometry import PointBox
     from retto_tpu.image.io import ImageHelper
     from retto_tpu.models import build_det
     from retto_tpu.pipeline.engine import JaxEngine
@@ -712,6 +789,7 @@ def render_rec_pipeline_dataset(rng, n_pages=2400, max_len=16):
         centers_gt = np.stack(
             [(gt_boxes[:, 0] + gt_boxes[:, 2]) / 2 * sx,
              (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2 * sy], axis=1)
+        matched_boxes, matched_texts = [], []
         for b in boxes:
             c = (b[0] + b[2]) / 2.0
             d = np.linalg.norm(centers_gt - c[None], axis=1)
@@ -721,13 +799,17 @@ def render_rec_pipeline_dataset(rng, n_pages=2400, max_len=16):
             gt_h = (gt_boxes[j, 3] - gt_boxes[j, 1]) * sy
             if d[j] > gt_h:
                 continue
-            text = gt_texts[j]
-            crop = ih.get_crop_img(PointBox(b))
-            ch, cw = crop.shape[:2]
-            if ch < 8 or cw < 8:
+            matched_boxes.append(b)
+            matched_texts.append(gt_texts[j])
+        # warp through the inference kernel (see warp_crops_like_inference:
+        # the old bicubic get_crop_img + second resize left training crops
+        # sharper than inference's single bilinear pass)
+        crops = (warp_crops_like_inference(ih, matched_boxes)
+                 if matched_boxes else [])
+        for crop, text in zip(crops, matched_texts):
+            if crop is None or crop.shape[0] < 8 or crop.shape[1] < 8:
                 continue
-            tw = max(min(int(cw * REC_H / ch), REC_W), 8)
-            imgs.append(_pil_resize(crop, tw, REC_H))
+            imgs.append(crop)
             ids = CHARS.encode(text)[:max_len]
             labels.append(ids + [0] * (max_len - len(ids)))
             lengths.append(len(ids))
