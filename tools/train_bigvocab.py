@@ -160,7 +160,9 @@ def main() -> None:
     print(f"[big] rendering {args.data_n} lines ...", flush=True)
     from train_synthetic import _cached
 
-    cache = REPO / "trained_weights" / "data_cache"
+    # same host-render cache dir the small-vocab trainers use (a render
+    # pass can populate big_lines while the TPU tunnel is down)
+    cache = Path("/tmp/synth_cache2")
 
     def _render_lines():
         im, la, ln, _ = render_dataset(rng, args.data_n)

@@ -31,46 +31,36 @@ LOG = Path("/tmp/watchdog.log")
 
 # (name, argv, timeout_s) — run in order; later jobs depend on earlier
 # checkpoints (eval reads trained_weights/, bench reads eval'd weights).
-# r4b cycle: photometric-augmented retrains (gain/bias/noise + JPEG
-# round-trips — the held-out conditions AND the bf16-ULP DC robustness
-# the TPU divergence post-mortem demands), then the full eval ladder.
+# r5b cycle: retrain rec (small + big vocab) on INFERENCE-KERNEL crops
+# (warp_crops_like_inference + the 2-tap resample-chain augmentation —
+# the r5a n=512 residue is I/l stem-height confusion, a train/infer
+# resample mismatch), then the full eval ladder + a bench capture.
 JOBS = [
-    ("train_det",
-     [sys.executable, "tools/train_synthetic.py", "det"], 3600),
-    # rec/cls read /tmp/synth_cache2, which a host-side `render` pass
-    # populates concurrently — block until it stamps rc= so a training
-    # job never reads a half-written npz
-    ("wait_render",
+    # /tmp/render_r5b.log is stamped rc= by the host-side render pass
+    # (rec_lines + big_lines caches) — block so a training job never
+    # reads a half-written npz; rec_pipe/big_pipe re-extract inside the
+    # trainers (they need det forwards, i.e. the tunnel)
+    ("wait_render_r5b",
      [sys.executable, "-c",
       "import time, pathlib\n"
-      "p = pathlib.Path('/tmp/render_r4b.log')\n"
+      "p = pathlib.Path('/tmp/render_r5b.log')\n"
       "while 'rc=' not in (p.read_text() if p.exists() else ''):\n"
       "    time.sleep(30)\n"
       "print(p.read_text().splitlines()[-1])"], 10800),
-    ("train_rec",
+    ("train_rec_r5b",
      [sys.executable, "tools/train_synthetic.py", "rec", "--steps", "30000",
-      "--data-cache", "/tmp/synth_cache2"], 5400),
-    ("train_cls",
-     [sys.executable, "tools/train_synthetic.py", "cls",
-      "--data-cache", "/tmp/synth_cache2"], 3600),
-    ("eval512",
+      "--data-cache", "/tmp/synth_cache2"], 7200),
+    ("eval512_r5b",
      [sys.executable, "tools/eval_accuracy.py", "512", "--tpu"], 4500),
-    ("eval_heldout",
-     [sys.executable, "tools/eval_heldout.py", "256", "--tpu"], 4500),
-    ("eval_bigvocab",
+    ("train_bigvocab_r5b",
+     [sys.executable, "tools/train_bigvocab.py", "--pipe-pages", "1600"],
+     5400),
+    ("eval_bigvocab_r5b",
      [sys.executable, "tools/eval_bigvocab_pipeline.py", "256", "--tpu"],
      2400),
-    # server tier (BASELINE config 4, VERDICT r4 item 6): efficiency
-    # checkpoints — enough training to produce real boxes/crops at scan
-    # resolution so the e2e number measures representative pipeline work
-    ("train_det_server",
-     [sys.executable, "tools/train_synthetic.py", "det",
-      "--preset", "server", "--steps", "4000"], 5400),
-    ("train_rec_server",
-     [sys.executable, "tools/train_synthetic.py", "rec",
-      "--preset", "server", "--steps", "16000",
-      "--data-cache", "/tmp/synth_cache2"], 7200),
-    ("bench",
+    ("eval_heldout_r5b",
+     [sys.executable, "tools/eval_heldout.py", "256", "--tpu"], 4500),
+    ("bench_r5b",
      [sys.executable, "bench.py"], 3600),
 ]
 
