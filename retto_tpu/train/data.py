@@ -118,17 +118,20 @@ class ClsDeviceData:
     @classmethod
     def build(cls, imgs: list[np.ndarray], w_max: int):
         """imgs: RAW crops (any height).  Both orientations are resized
-        host-side exactly like resize_norm_image would."""
-        from ..image.io import _pil_resize
+        host-side through the INFERENCE resample kernel (2-tap separable
+        bilinear — device_pipeline warps cls crops with _axis_matrix, not
+        PIL's anti-aliased BOX/BILINEAR filters; r5b closed the same
+        train/infer mismatch for rec)."""
+        from .synth import downsample_2tap
 
         h_out = 48
         buf = np.zeros((len(imgs), 2, h_out, w_max, 3), np.uint8)
         widths = np.zeros((len(imgs),), np.int32)
         for i, im in enumerate(imgs):
             tw = max(min(int(im.shape[1] * h_out / im.shape[0]), w_max), 8)
-            buf[i, 0, :, :tw] = _pil_resize(im, tw, h_out)
-            buf[i, 1, :, :tw] = _pil_resize(
-                np.ascontiguousarray(im[::-1, ::-1]), tw, h_out
+            buf[i, 0, :, :tw] = downsample_2tap(im, h_out, tw)
+            buf[i, 1, :, :tw] = downsample_2tap(
+                np.ascontiguousarray(im[::-1, ::-1]), h_out, tw
             )
             widths[i] = tw
         return cls(jnp.asarray(buf), jnp.asarray(widths))

@@ -50,6 +50,11 @@ JOBS = [
     ("train_rec_r5b",
      [sys.executable, "tools/train_synthetic.py", "rec", "--steps", "30000",
       "--data-cache", "/tmp/synth_cache2"], 7200),
+    # cls caches store RAW crops (resize happens in ClsDeviceData.build,
+    # which r5b moved to the inference 2-tap kernel) — no re-render needed
+    ("train_cls_r5b",
+     [sys.executable, "tools/train_synthetic.py", "cls",
+      "--data-cache", "/tmp/synth_cache2"], 3600),
     ("eval512_r5b",
      [sys.executable, "tools/eval_accuracy.py", "512", "--tpu"], 4500),
     ("train_bigvocab_r5b",
