@@ -109,6 +109,24 @@ def tunnel_alive(timeout: float = 150.0) -> bool:
         return False
 
 
+def archive_job(name: str, out: Path, status: str) -> None:
+    """Copy the job log into the repo and commit it: eval/train results must
+    survive the session ending mid-ladder (the round-5a restart lost the
+    queued r5b results because they lived only in /tmp)."""
+    try:
+        dst = REPO / "evidence" / "r5b" / f"{name}.log"
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        dst.write_bytes(out.read_bytes() if out.exists() else b"")
+        for cmd in (["git", "add", "evidence/r5b", "trained_weights"],
+                    ["git", "commit", "-m",
+                     f"r5b ladder evidence: {name} ({status})"]):
+            subprocess.run(cmd, cwd=str(REPO), capture_output=True,
+                           timeout=60)
+        log(f"job {name}: archived -> {dst} ({status})")
+    except Exception as e:  # noqa: BLE001 - archival must never kill the loop
+        log(f"job {name}: archive failed: {e}")
+
+
 def run_job(name: str, argv: list[str], timeout: int) -> bool:
     out = Path(f"/tmp/watchdog_{name}.log")
     log(f"job {name}: start (timeout {timeout}s, log {out})")
@@ -118,8 +136,10 @@ def run_job(name: str, argv: list[str], timeout: int) -> bool:
                                timeout=timeout, cwd=str(REPO))
         except subprocess.TimeoutExpired:
             log(f"job {name}: TIMEOUT after {timeout}s")
+            archive_job(name, out, "timeout")
             return False
     log(f"job {name}: exit {r.returncode}")
+    archive_job(name, out, f"exit {r.returncode}")
     return r.returncode == 0
 
 
