@@ -146,10 +146,17 @@ def run_job(name: str, argv: list[str], timeout: int) -> bool:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--probe-interval", type=float, default=180.0)
+    ap.add_argument("--deadline-epoch", type=float, default=0.0,
+                    help="unix time after which no job may run or keep "
+                         "running: the driver's end-of-round bench needs a "
+                         "quiet host+TPU, so the ladder must be silent then")
     args = ap.parse_args()
     st = load_state()
     log(f"watchdog up; state={st}")
     while True:
+        if args.deadline_epoch and time.time() > args.deadline_epoch - 120:
+            log("deadline reached; exiting so the round-end bench is quiet")
+            return
         pending = [j for j in JOBS
                    if j[0] not in st["done"] and j[0] not in st["failed"]]
         if not pending:
@@ -158,6 +165,12 @@ def main() -> None:
         log(f"tunnel {'ALIVE' if alive else 'down'}")
         if alive and pending:
             for name, argv, tmo in pending:
+                if args.deadline_epoch:
+                    left = int(args.deadline_epoch - time.time()) - 60
+                    if left < 180:
+                        log(f"job {name}: skipped (deadline)")
+                        continue
+                    tmo = min(tmo, left)
                 ok = run_job(name, argv, tmo)
                 if not ok:
                     if tunnel_alive():
