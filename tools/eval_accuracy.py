@@ -58,15 +58,45 @@ def main() -> None:
     )
     rng = np.random.default_rng(123)
 
+    # --fused: run the SAME render stream through DevicePipeline.run_many
+    # in batches instead of 2n sequential session.run round trips — the
+    # sequential protocol is ~18 min over the 25 ms-RTT tunnel at n=512;
+    # fused is ~2 min.  Staged-vs-fused text equality is pinned by
+    # tests/test_device_pipeline.py, so the oracle metrics are unchanged.
+    fused = "--fused" in sys.argv
+    if fused:
+        texts_all, pages, bboxes = [], [], []
+        for _ in range(n):
+            t = natural_text(rng, max_words=3)
+            img, bb = render(t)
+            texts_all.append(t)
+            pages.append(img)
+            bboxes.append(bb)
+        dp = session.device_pipeline()
+        results, results_r = [], []
+        bsz = 16
+        for lo in range(0, n, bsz):
+            chunk = pages[lo : lo + bsz]
+            results.extend(dp.run_many(chunk))
+            results_r.extend(
+                dp.run_many([p[::-1, ::-1].copy() for p in chunk])
+            )
+            if (lo + bsz) % 128 == 0:
+                print(f"[fused] {min(lo + bsz, n)}/{n}", flush=True)
+
     n_exact = n_close = n_box = n_cls_up = n_cls_rot = n_det1 = 0
     n_up_norot = n_rot_text = 0
     fails = []
     cls_fails = []
     det_fails = []
     for i in range(n):
-        text = natural_text(rng, max_words=3)
-        img, bbox = render(text)
-        res = session.run(img)
+        if fused:
+            text, img, bbox = texts_all[i], pages[i], bboxes[i]
+            res = results[i]
+        else:
+            text = natural_text(rng, max_words=3)
+            img, bbox = render(text)
+            res = session.run(img)
         if len(res.det_result) == 1:
             n_det1 += 1
             br = res.det_result[0].box.br
@@ -98,7 +128,7 @@ def main() -> None:
         elif cu.labels:
             cls_fails.append(("UP", text, cu[0].label, cu[0].score))
         # rotated case
-        res_r = session.run(img[::-1, ::-1].copy())
+        res_r = results_r[i] if fused else session.run(img[::-1, ::-1].copy())
         cr = res_r.cls_result
         if cr.labels and cr[0].label == 180 and cr[0].score >= 0.9:
             n_cls_rot += 1
@@ -117,7 +147,7 @@ def main() -> None:
             print(f"[{i + 1}/{n}] rec {n_exact}/{i + 1} "
                   f"rot-rec {n_rot_text}/{i + 1} cls-rot {n_cls_rot}/{i + 1}",
                   flush=True)
-    print(f"n={n}")
+    print(f"n={n}  mode={'fused-run_many' if fused else 'staged-session.run'}")
     print(f"det exactly-1-box: {n_det1}/{n}")
     print(f"box BR within 10px: {n_box}/{n}")
     print(f"rec exact: {n_exact}/{n}  (>=0.9 sim: {n_close}/{n})")

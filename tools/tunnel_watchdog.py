@@ -35,28 +35,43 @@ LOG = Path("/tmp/watchdog.log")
 # (warp_crops_like_inference + the 2-tap resample-chain augmentation —
 # the r5a n=512 residue is I/l stem-height confusion, a train/infer
 # resample mismatch), then the full eval ladder + a bench capture.
+def _wait_for(path: str) -> list:
+    # caches are written via write-then-rename, so existence => complete
+    return [sys.executable, "-c",
+            "import time, pathlib\n"
+            f"p = pathlib.Path({path!r})\n"
+            "while not p.exists():\n"
+            "    time.sleep(20)\n"
+            "print(p, p.stat().st_size)"]
+
+
 JOBS = [
-    # /tmp/render_r5b.log is stamped rc= by the host-side render pass
-    # (rec_lines + big_lines caches) — block so a training job never
-    # reads a half-written npz; rec_pipe/big_pipe re-extract inside the
-    # trainers (they need det forwards, i.e. the tunnel)
-    ("wait_render_r5b",
-     [sys.executable, "-c",
-      "import time, pathlib\n"
-      "p = pathlib.Path('/tmp/render_r5b.log')\n"
-      "while 'rc=' not in (p.read_text() if p.exists() else ''):\n"
-      "    time.sleep(30)\n"
-      "print(p.read_text().splitlines()[-1])"], 10800),
+    # The render pass populates /tmp/synth_cache2 in order: rec_lines,
+    # rec_pipe, cls_pipe, cls_lines.  Each training job gates only on the
+    # caches IT needs, so rec training + the n=512 eval overlap the cls
+    # render tail instead of serializing behind the whole render.
+    ("wait_rec_caches_r5b", _wait_for("/tmp/synth_cache2/rec_pipe.npz"),
+     10800),
     ("train_rec_r5b",
      [sys.executable, "tools/train_synthetic.py", "rec", "--steps", "30000",
       "--data-cache", "/tmp/synth_cache2"], 7200),
+    # fused protocol: ~3 min at n=512 vs ~18 min for sequential
+    # session.run over the tunnel (same render stream + oracle metrics)
+    ("eval512_r5b",
+     [sys.executable, "tools/eval_accuracy.py", "512", "--tpu", "--fused"],
+     2400),
     # cls caches store RAW crops (resize happens in ClsDeviceData.build,
-    # which r5b moved to the inference 2-tap kernel) — no re-render needed
+    # which r5b moved to the inference 2-tap kernel)
+    ("wait_cls_caches_r5b", _wait_for("/tmp/synth_cache2/cls_lines.npz"),
+     10800),
     ("train_cls_r5b",
      [sys.executable, "tools/train_synthetic.py", "cls",
       "--data-cache", "/tmp/synth_cache2"], 3600),
-    ("eval512_r5b",
-     [sys.executable, "tools/eval_accuracy.py", "512", "--tpu"], 4500),
+    # re-eval after the cls retrain (cheap under the fused protocol):
+    # the cls columns of the r5b table come from this run
+    ("eval512b_r5b",
+     [sys.executable, "tools/eval_accuracy.py", "512", "--tpu", "--fused"],
+     2400),
     ("train_bigvocab_r5b",
      [sys.executable, "tools/train_bigvocab.py", "--pipe-pages", "1600"],
      5400),
